@@ -1,0 +1,107 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Base-37 trigram ("gram") codec and extraction.
+  *
+  * Semantics are bit-identical to the reference tokenizer
+  * (reference: fulltext.go:56-64 constants, fulltext.go:210-238 extraction,
+  * fulltext.go:240-282 codecs). A gram is a 3-digit base-37 number packed in
+  * 16 bits: alphabet `.`=0 (any non-alphanumeric), `0-9`=1..10, `A-Z`
+  * (case-folded)=11..36; 37^3 = 50653 < 2^16.
+  *
+  * Extraction (whole-word mode) is equivalent to: for each maximal run of
+  * gram-chars w, emit all 3-char windows of "." + w + "." (never a window of
+  * two leading dots). Partial mode emits only fully-interior windows of each
+  * term (no dot in any position) and does not space-wrap.
+  */
+object Gram {
+  final val Base: Int = 37
+  final val Base2: Int = Base * Base // 1369
+  final val Base3: Int = Base * Base * Base // 50653
+  final val GramZero: Int = 1
+  final val GramA: Int = 11
+
+  /** fulltext.go:256-265 — char class to base-37 digit; 0 for non-alnum. */
+  @inline def gramForChar(c: Int): Int =
+    if (c >= '0' && c <= '9') c - '0' + GramZero
+    else if (c >= 'A' && c <= 'Z') c - 'A' + GramA
+    else if (c >= 'a' && c <= 'z') c - 'a' + GramA
+    else 0
+
+  /** fulltext.go:247-254 — digit to display char. */
+  @inline def charForGram(g: Int): Char =
+    if (g == 0) '.'
+    else if (g < GramA) ('0' + (g - GramZero)).toChar
+    else ('A' + (g - GramA)).toChar
+
+  /** fulltext.go:240-245 — gram code to 3-char display string. */
+  def gramString(g: Int): String = {
+    val b = new Array[Char](3)
+    b(0) = charForGram((g / Base2) % Base)
+    b(1) = charForGram((g / Base) % Base)
+    b(2) = charForGram(g % Base)
+    new String(b)
+  }
+
+  /** fulltext.go:267-282 — parse a 3-char gram literal (e.g. ".TH"). */
+  def gramForString(s: String): Int = {
+    require(s.length == 3, s"Unicode gram is not a trigram: '$s'")
+    var grm = 0
+    var i = 0
+    while (i < 3) {
+      val c = gramForChar(s.charAt(i))
+      if (!(grm % Base == 0 && c == 0)) {
+        if (grm % Base == 0) grm = c
+        else grm = ((grm * Base) + c) % Base3
+      }
+      i += 1
+    }
+    grm
+  }
+
+  /** fulltext.go:223-238 — sliding gram extraction into a set.
+    * Iterates Unicode code points like Go's `for range` over a string.
+    */
+  def addGrams(partial: Boolean, str: String, result: mutable.Set[Int]): Unit = {
+    var grm = 0
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val v = gramForChar(cp)
+      // don't append more than one space
+      if (!(v == 0 && grm % Base == 0)) {
+        if (grm % Base == 0) grm = v // starting a word
+        else grm = ((grm * Base) + v) % Base3
+        val interiorOnlySkip = partial &&
+          (grm / Base2 == 0 || (grm / Base) % Base == 0 || grm % Base == 0)
+        if (!interiorOnlySkip && grm >= Base) result += grm
+      }
+    }
+  }
+
+  /** fulltext.go:210-220 — gram set for one or more terms. Whole-word mode
+    * wraps the joined terms in single spaces so boundary grams are emitted.
+    */
+  def grams(partial: Boolean, args: Seq[String]): Set[Int] = {
+    val result = mutable.Set.empty[Int]
+    if (partial) args.foreach(addGrams(partial = true, _, result))
+    else addGrams(partial = false, " " + args.mkString(" ") + " ", result)
+    result.toSet
+  }
+
+  def grams(text: String): Set[Int] = grams(partial = false, Seq(text))
+
+  /** Sorted gram codes — deterministic order for stable downstream plans. */
+  def gramsSorted(partial: Boolean, args: Seq[String]): Array[Int] = {
+    val a = grams(partial, args).toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  /** The reference's word-boundary char class (fts-lmdb.go:1428-1430). */
+  @inline def isGramChar(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+}

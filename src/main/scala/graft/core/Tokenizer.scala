@@ -1,0 +1,94 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Word tokenizer for BM25: a term is a maximal run of the reference's
+  * gram-char class (ASCII alphanumerics, fts-lmdb.go:1428-1430), case-folded
+  * to lowercase. This is the word-boundary definition the reference's exact
+  * verifier uses, promoted to a tokenizer for term-level indexing.
+  */
+object Tokenizer {
+
+  /** Lowercased terms in document order (with duplicates — tf source). */
+  def terms(text: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !Gram.isGramChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && Gram.isGramChar(text.charAt(i))) i += 1
+      if (i > start) {
+        val sb = new java.lang.StringBuilder(i - start)
+        var j = start
+        while (j < i) {
+          val c = text.charAt(j)
+          sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+          j += 1
+        }
+        out += sb.toString
+      }
+    }
+    out.toArray
+  }
+
+  /** (term, tf) pairs, terms unique, deterministic order (sorted). */
+  def termFreqs(text: String): Array[(String, Int)] = {
+    val m = mutable.HashMap.empty[String, Int]
+    terms(text).foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+    m.toArray.sortBy(_._1)
+  }
+
+  /** Document length = total term count (BM25 `dl`). */
+  def docLength(text: String): Int = terms(text).length
+
+  /** The reference's exact-match verifier (fts-lmdb.go:1299-1311):
+    * case-insensitive substring scan with word-boundary checks on both ends
+    * (skipped when `partial`). Returns the char offset of the first
+    * whole-word occurrence, or -1.
+    */
+  /** ASCII-only case fold — length-preserving, matching the reference's
+    * byte-level two-case scanner (fts-lmdb.go:1232-1240, 1168-1188). A
+    * locale-aware toLowerCase could change string length (e.g. 'İ').
+    */
+  private def asciiLower(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    b.toString
+  }
+
+  def firstWordBoundaryMatch(chunk: String, arg: String, partial: Boolean): Int = {
+    if (arg.isEmpty) return -1
+    val lc = asciiLower(chunk)
+    val la = asciiLower(arg)
+    var from = 0
+    while (from <= lc.length - la.length) {
+      val i = lc.indexOf(la, from)
+      if (i < 0) return -1
+      val startOk = i == 0 || !Gram.isGramChar(chunk.charAt(i - 1))
+      val endOk = i + la.length == chunk.length || !Gram.isGramChar(chunk.charAt(i + la.length))
+      if (partial || (startOk && endOk)) return i
+      from = i + la.length
+    }
+    -1
+  }
+
+  /** AND across args — the reference's per-chunk verify loop
+    * (fts-lmdb.go:1282-1291). Returns offset of the first match of any arg
+    * encountered in arg order, or -1 when some arg is absent.
+    */
+  def verifyAll(chunk: String, args: Seq[String], partial: Boolean): Int = {
+    var first = -1
+    args.foreach { a =>
+      val i = firstWordBoundaryMatch(chunk, a, partial)
+      if (i == -1) return -1
+      if (first == -1) first = i
+    }
+    first
+  }
+}
