@@ -1,0 +1,327 @@
+package graft.build
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Chunker, Gram, Postings, Tokenizer}
+import java.sql.Timestamp
+
+/** Distributed inverted-index build: web docs table -> chunked + tokenized
+  * chunk store -> stable dense doc ids -> term/gram posting segments
+  * (delta+varint blocks with block-max metadata) -> dictionary + doc stats,
+  * with a per-partition lineage manifest so a killed job resumes without
+  * re-tokenizing completed partitions.
+  *
+  * This is the Spark-native rebuild of the reference's `input` path
+  * (reference: cmdInput fts-lmdb.go:509-531, indexLines 578-603,
+  * addGramEntry 628-637): one shuffle takes tokenized postings to
+  * term-ordered partitions; hot-term skew is defused because the
+  * repartition-and-sort key ends in doc_id — a hot term's postings are
+  * *range-salted* across partitions as contiguous doc-id shards, which stay
+  * splice-mergeable ([[graft.core.Postings.spliceShards]]) because blocks
+  * are self-contained. `range_id` (fixed-size doc-id ranges) additionally
+  * aligns every term's shards on the same boundaries so BM25/WAND can run
+  * doc-partitioned at query time.
+  *
+  * Stage layout under `indexDir/`:
+  *   chunks/        partitioned by docpart (resume unit; tokenization lives
+  *                  here, checkpointed — resume never re-tokenizes)
+  *   docs/          chunk rows + dense stable doc_id, range-sorted by doc_id
+  *   postings_terms/ bucket=N/ (term, range_id, first/last doc, stats, bytes)
+  *   postings_grams/ bucket=N/ (gram, ...) — trigram candidate index
+  *   dictionary/    (term, df, cf, max_tf);  gram_dict/ (gram, df)
+  *   docstats.json  n_docs, sum_dl, avgdl, range_size, build params
+  *   manifest.jsonl per-unit lineage + metrics
+  */
+object IndexBuild {
+
+  final case class Config(
+    nBuckets: Int = 8,          // term-hash write partitions (cluster: 100s)
+    nRanges: Int = 8,           // doc-id range shards = the salt (cluster: 1000s)
+    docParts: Int = 8,          // chunk-stage resume units
+    shufflePartitions: Int = 32,
+    blockSize: Int = 128,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    lineChunks: Boolean = true) // false: whole doc = one chunk
+
+  final case class TermFreq(t: String, f: Int)
+
+  final case class ChunkRow(
+    url: String, warc_ts: Timestamp, lang: String, docpart: Int,
+    chunk_seq: Int, line: Int, rune_off: Long, rune_len: Long,
+    byte_start: Long, byte_len: Long, dl: Int, n_grams: Int,
+    chunk_text: String, terms: Array[TermFreq], grams: Array[Int])
+
+  final case class DocStats(nDocs: Long, sumDl: Long, avgdl: Double,
+                            rangeSize: Long, nBuckets: Int, nRanges: Int,
+                            k1: Double, b: Double, watermark: String)
+
+  final case class BuildStats(nDocs: Long, nChunkParts: Int, nTermBuckets: Int,
+                              nGramBuckets: Int, resumedChunks: Int,
+                              resumedTermBuckets: Int)
+
+  def chunksDir(dir: String) = s"$dir/chunks"
+  def docsDir(dir: String) = s"$dir/docs"
+  def termPostingsDir(dir: String) = s"$dir/postings_terms"
+  def gramPostingsDir(dir: String) = s"$dir/postings_grams"
+  def dictDir(dir: String) = s"$dir/dictionary"
+  def gramDictDir(dir: String) = s"$dir/gram_dict"
+
+  /** Chunk + tokenize one document — the only place raw text is processed. */
+  def chunkDoc(url: String, warcTs: Timestamp, lang: String, docpart: Int,
+               text: String, lineChunks: Boolean): Seq[ChunkRow] = {
+    val chunks =
+      if (lineChunks) Chunker.linesLenient(text)
+      else IndexedSeq(graft.core.Chunk(1, 0L, text.codePointCount(0, text.length).toLong,
+        0L, text.getBytes("UTF-8").length.toLong, text))
+    chunks.zipWithIndex.map { case (c, seq) =>
+      val tfs = Tokenizer.termFreqs(c.text).map { case (t, f) => TermFreq(t, f) }
+      val dl = { var s = 0; tfs.foreach(s += _.f); s }
+      val grams = Gram.gramsSorted(partial = false, Seq(c.text))
+      ChunkRow(url, warcTs, lang, docpart, seq, c.line, c.runeOff, c.runeLen,
+        c.byteStart, c.byteLen, dl, grams.length, c.text, tfs, grams)
+    }
+  }
+
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+            cfg: Config = Config()): BuildStats = {
+    val resumedChunks = stageChunks(spark, docs, dir, cfg)
+    val stats = stageIds(spark, dir, cfg)
+    val resumedTerm = stagePostings(spark, dir, cfg, stats, grams = false)
+    stagePostings(spark, dir, cfg, stats, grams = true)
+    stageDictionary(spark, dir)
+    BuildStats(stats.nDocs, cfg.docParts, cfg.nBuckets, cfg.nBuckets,
+      resumedChunks, resumedTerm)
+  }
+
+  /** Stage 1 — chunk + tokenize, partitioned by docpart = hash(url).
+    * Resume unit: docpart. Completed parts are never re-read/re-tokenized.
+    */
+  private def stageChunks(spark: SparkSession, docs: DataFrame, dir: String,
+                          cfg: Config): Int = {
+    import spark.implicits._
+    val done = Manifest.completed(dir, "chunks")
+    val missing = (0 until cfg.docParts).filterNot(p => done(p.toString))
+    if (missing.isEmpty) return cfg.docParts
+    val t0 = System.nanoTime()
+    val src = docs
+      .withColumn("docpart", pmod(xxhash64(col("url")), lit(cfg.docParts)).cast("int"))
+      .where(col("docpart").isin(missing: _*))
+      .select($"url", $"warc_ts", $"lang", $"text", $"docpart")
+      .as[(String, Timestamp, String, String, Int)]
+      // range-partition by docpart so each write task owns ~1 partition dir
+      .repartitionByRange(math.max(missing.size, 1), col("docpart"), col("url"))
+    val chunked = src.flatMap { case (url, ts, lang, text, part) =>
+      chunkDoc(url, ts, lang, part, text, cfg.lineChunks)
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    chunked.write.mode("overwrite").partitionBy("docpart").parquet(chunksDir(dir))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // read-back metrics per completed unit (metadata-cheap: two columns)
+    val stats = spark.read.parquet(chunksDir(dir))
+      .where(col("docpart").isin(missing: _*))
+      .groupBy("docpart")
+      .agg(count(lit(1)).as("rows"), sum(length($"chunk_text")).as("bytes"),
+        max($"warc_ts").cast("string").as("wm"))
+      .collect()
+    val byPart = stats.map(r => r.getInt(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2), r.getString(3))).toMap
+    missing.foreach { p =>
+      val (rows, bytes, wm) = byPart.getOrElse(p, (0L, 0L, ""))
+      Manifest.append(dir, Manifest.Entry("chunks", p.toString, rows, bytes,
+        wm, wallMs / missing.size))
+    }
+    done.size
+  }
+
+  /** Stage 2 — stable dense doc ids: global rank in (url, chunk_seq) order
+    * via sorted per-url prefix sums. Deterministic and independent of
+    * partition count (reference analog: monotone OID allocation,
+    * fts-lmdb.go:855-867, made reproducible per SURVEY §2.6 M6).
+    */
+  private def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
+    import spark.implicits._
+    if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
+    val t0 = System.nanoTime()
+    val chunks = spark.read.parquet(chunksDir(dir))
+    val urlCounts = chunks.groupBy("url").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(cfg.shufflePartitions, $"url")
+      .sortWithinPartitions("url")
+      .select($"url", $"cnt".cast("long"))
+      .as[(String, Long)]
+    urlCounts.cache()
+    // two-phase prefix sum: per-partition totals -> driver cumsum -> bases.
+    // The base of a url = #chunks on all urls sorted before it — invariant
+    // to where range boundaries fall, so doc ids are stable across runs
+    // and cluster sizes.
+    val partTotals = urlCounts.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bases = urlCounts.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = offsets(pid)
+      it.map { case (url, cnt) => val b = acc; acc += cnt; (url, b) }
+    }.toDF("url", "base")
+    val nDocs = offsets.last
+    val withIds = chunks.join(bases, Seq("url"))
+      .withColumn("doc_id", $"base" + $"chunk_seq")
+      .drop("base")
+    withIds
+      .repartitionByRange(cfg.shufflePartitions, $"doc_id")
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(docsDir(dir))
+    urlCounts.unpersist()
+    val agg = spark.read.parquet(docsDir(dir))
+      .agg(count(lit(1)), sum($"dl".cast("long")), max($"warc_ts").cast("string"))
+      .head()
+    val n = agg.getLong(0)
+    val sumDl = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val wm = if (agg.isNullAt(2)) "" else agg.getString(2)
+    require(n == nDocs, s"id assignment mismatch: $n vs $nDocs")
+    val rangeSize = math.max(1L, (nDocs + cfg.nRanges - 1) / cfg.nRanges)
+    val stats = DocStats(nDocs, sumDl, if (n == 0) 1.0 else sumDl.toDouble / n,
+      rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm)
+    writeDocStats(dir, stats)
+    Manifest.append(dir, Manifest.Entry("ids", "all", n, 0L, wm,
+      (System.nanoTime() - t0) / 1000000))
+    stats
+  }
+
+  final case class Posting(key: String, bucket: Int, range_id: Int,
+                           doc_id: Long, tf: Int, dl: Long)
+  final case class SegRow(bucket: Int, key: String, range_id: Int,
+                          first_doc: Long, last_doc: Long, n_docs: Long,
+                          sum_tf: Long, max_tf: Int, n_bytes: Int,
+                          postings: Array[Byte])
+
+  /** Stage 3/4 — posting segments. ONE shuffle: range-repartition + sort on
+    * (bucket, key, range_id, doc_id); the streaming segment builder then
+    * emits one delta+varint block segment per (key, range_id) run. Resume
+    * unit: bucket.
+    */
+  private def stagePostings(spark: SparkSession, dir: String, cfg: Config,
+                            stats: DocStats, grams: Boolean): Int = {
+    import spark.implicits._
+    val stage = if (grams) "postings_grams" else "postings_terms"
+    val outDir = if (grams) gramPostingsDir(dir) else termPostingsDir(dir)
+    val done = Manifest.completed(dir, stage)
+    val missing = (0 until cfg.nBuckets).filterNot(b => done(b.toString))
+    if (missing.isEmpty) return cfg.nBuckets
+    val t0 = System.nanoTime()
+    val docsT = spark.read.parquet(docsDir(dir))
+      .select($"doc_id", $"dl", $"n_grams", if (grams) $"grams" else $"terms")
+    val rangeSize = stats.rangeSize
+    val postings: Dataset[Posting] =
+      if (grams) {
+        docsT.select($"doc_id", $"n_grams", explode($"grams").as("g"))
+          .select(concat(lit("g"), $"g".cast("string")).as("key"),
+            pmod($"g", lit(cfg.nBuckets)).cast("int").as("bucket"),
+            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+            $"doc_id", lit(1).as("tf"), $"n_grams".cast("long").as("dl"))
+          .as[Posting]
+      } else {
+        docsT.select($"doc_id", $"dl", explode($"terms").as("e"))
+          .select($"e.t".as("key"),
+            pmod(xxhash64($"e.t"), lit(cfg.nBuckets)).cast("int").as("bucket"),
+            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+            $"doc_id", $"e.f".as("tf"), $"dl".cast("long").as("dl"))
+          .as[Posting]
+      }
+    val filtered = postings.where($"bucket".isin(missing: _*))
+    val (k1, b, avgdl, blockSize) = (cfg.k1, cfg.b, stats.avgdl, cfg.blockSize)
+    val segRows = filtered
+      .repartitionByRange(cfg.shufflePartitions, $"bucket", $"key", $"range_id", $"doc_id")
+      .sortWithinPartitions($"bucket", $"key", $"range_id", $"doc_id")
+      .mapPartitions { it =>
+        new Iterator[SegRow] {
+          private var pending: SegRow = null
+          private var cur: Posting = null
+          private def buildNext(): Unit = {
+            if (cur == null && it.hasNext) cur = it.next()
+            if (cur == null) { pending = null; return }
+            val (key, bucket, range) = (cur.key, cur.bucket, cur.range_id)
+            val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize)
+            val first = cur.doc_id
+            var last = cur.doc_id
+            var n = 0L
+            var sumTf = 0L
+            var maxTf = 0
+            var go = true
+            while (go) {
+              sb.add(cur.doc_id, cur.tf, cur.dl)
+              last = cur.doc_id; n += 1; sumTf += cur.tf
+              if (cur.tf > maxTf) maxTf = cur.tf
+              cur = if (it.hasNext) it.next() else null
+              go = cur != null && cur.key == key && cur.range_id == range
+            }
+            val bytes = sb.result()
+            pending = SegRow(bucket, key, range, first, last, n, sumTf, maxTf,
+              bytes.length, bytes)
+          }
+          buildNext()
+          override def hasNext: Boolean = pending != null
+          override def next(): SegRow = {
+            val r = pending; buildNext(); r
+          }
+        }
+      }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    segRows.write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val m = spark.read.parquet(outDir).where(col("bucket").isin(missing: _*))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows"), sum($"n_bytes".cast("long")).as("bytes"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+    missing.foreach { bkt =>
+      val (rows, bytes) = m.getOrElse(bkt, (0L, 0L))
+      Manifest.append(dir, Manifest.Entry(stage, bkt.toString, rows, bytes,
+        stats.watermark, wallMs / missing.size))
+    }
+    done.size
+  }
+
+  /** Stage 5 — dictionary + gram dictionary from segment *metadata* only
+    * (the postings binary column is pruned from the scan).
+    */
+  private def stageDictionary(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (Manifest.completed(dir, "dictionary")("all")) return
+    val t0 = System.nanoTime()
+    val seg = spark.read.parquet(termPostingsDir(dir))
+      .groupBy($"key".as("term"))
+      .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"), max($"max_tf").as("max_tf"))
+    seg.repartitionByRange(8, $"term").sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(dictDir(dir))
+    val gseg = spark.read.parquet(gramPostingsDir(dir))
+      .groupBy(substring($"key", 2, 10).cast("int").as("gram"))
+      .agg(sum($"n_docs").as("df"))
+    gseg.repartitionByRange(8, $"gram").sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(gramDictDir(dir))
+    val n = spark.read.parquet(dictDir(dir)).count()
+    Manifest.append(dir, Manifest.Entry("dictionary", "all", n, 0L, "",
+      (System.nanoTime() - t0) / 1000000))
+  }
+
+  def writeDocStats(dir: String, s: DocStats): Unit = {
+    val json =
+      s"""{"n_docs":${s.nDocs},"sum_dl":${s.sumDl},"avgdl":${s.avgdl},""" +
+        s""""range_size":${s.rangeSize},"n_buckets":${s.nBuckets},""" +
+        s""""n_ranges":${s.nRanges},"k1":${s.k1},"b":${s.b},""" +
+        s""""watermark":"${s.watermark}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "docstats.json"),
+      json.getBytes("UTF-8"))
+  }
+
+  def readDocStats(dir: String): DocStats = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "docstats.json")), "UTF-8")
+    def num(k: String): String =
+      (s""""$k":([-0-9.eE]+)""").r.findFirstMatchIn(s).get.group(1)
+    def str(k: String): String =
+      (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    DocStats(num("n_docs").toLong, num("sum_dl").toLong, num("avgdl").toDouble,
+      num("range_size").toLong, num("n_buckets").toInt, num("n_ranges").toInt,
+      num("k1").toDouble, num("b").toDouble, str("watermark"))
+  }
+}

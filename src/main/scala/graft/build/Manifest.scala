@@ -1,0 +1,58 @@
+package graft.build
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Per-partition lineage + metrics manifest — the engine's analog of the
+  * reference's system record / mtime bookkeeping (fts-lmdb.go:799-833,
+  * 987-1026), and the resume-from-checkpoint unit required by the north
+  * rule. In production this maps to Iceberg snapshot properties; in the
+  * sandbox it is a JSON-lines file appended after each completed unit.
+  *
+  * Entry: {"stage":"chunks","unit":"3","rows":123,"bytes":4567,
+  *         "watermark":"...","wall_ms":88,"status":"complete"}
+  */
+object Manifest {
+  final case class Entry(stage: String, unit: String, rows: Long, bytes: Long,
+                         watermark: String, wallMs: Long)
+
+  private def path(indexDir: String) = Paths.get(indexDir, "manifest.jsonl")
+
+  def append(indexDir: String, e: Entry): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val line = s"""{"stage":"${e.stage}","unit":"${e.unit}","rows":${e.rows},""" +
+      s""""bytes":${e.bytes},"watermark":"${e.watermark}","wall_ms":${e.wallMs},""" +
+      s""""status":"complete"}""" + "\n"
+    Files.write(path(indexDir), line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Completed units for a stage (only lines with status complete count). */
+  def completed(indexDir: String, stage: String): Set[String] = {
+    val p = path(indexDir)
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p).asScala.iterator
+      .filter(_.contains(s""""stage":"$stage""""))
+      .filter(_.contains(""""status":"complete""""))
+      .flatMap { l =>
+        val m = """"unit":"([^"]*)"""".r.findFirstMatchIn(l)
+        m.map(_.group(1))
+      }.toSet
+  }
+
+  def entries(indexDir: String): Seq[String] = {
+    val p = path(indexDir)
+    if (!Files.exists(p)) Seq.empty else Files.readAllLines(p).asScala.toSeq
+  }
+
+  /** Drop all entries of a stage (used by maintenance rebuild). */
+  def invalidateStage(indexDir: String, stage: String): Unit = {
+    val p = path(indexDir)
+    if (Files.exists(p)) {
+      val keep = Files.readAllLines(p).asScala
+        .filterNot(_.contains(s""""stage":"$stage""""))
+      Files.write(p, keep.mkString("", "\n", if (keep.isEmpty) "" else "\n").getBytes("UTF-8"),
+        StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.CREATE)
+    }
+  }
+}

@@ -19,6 +19,8 @@ package graft.core
   *   payloads, per block:
   *     [docId deltas x (docCount-1)]  (first doc comes from the directory)
   *     [tf x docCount]
+  *     [dl x docCount]   (exact doc length — scoring needs it at the cursor;
+  *                        a 10^12-row doc-stats join per query would not scale)
   * }}}
   *
   * blockMaxScore is the block's max of the BM25 tf-saturation factor
@@ -71,11 +73,13 @@ object Postings {
         if (s > maxScore) maxScore = s
         i += 1
       }
-      val pay = new Varint.Writer(inBlock * 3)
+      val pay = new Varint.Writer(inBlock * 4)
       i = 1
       while (i < inBlock) { pay.putNum(blockDocs(i) - blockDocs(i - 1)); i += 1 }
       i = 0
       while (i < inBlock) { pay.putNum(blockTfs(i).toLong); i += 1 }
+      i = 0
+      while (i < inBlock) { pay.putNum(blockDls(i)); i += 1 }
       dir.putNum(inBlock.toLong)
       dir.putNum(blockDocs(0))
       dir.putNum(blockDocs(inBlock - 1))
@@ -199,6 +203,7 @@ object Postings {
     private var blk = -1
     private var docs: Array[Long] = null
     private var tfs: Array[Int] = null
+    private var dls: Array[Long] = null
     private var pos = 0
     private var cnt = 0
 
@@ -207,13 +212,17 @@ object Postings {
     private def loadBlock(i: Int): Unit = {
       blk = i
       cnt = bDocCount(i)
-      if (docs == null || docs.length < cnt) { docs = new Array[Long](cnt); tfs = new Array[Int](cnt) }
+      if (docs == null || docs.length < cnt) {
+        docs = new Array[Long](cnt); tfs = new Array[Int](cnt); dls = new Array[Long](cnt)
+      }
       val r = new Varint.Reader(bytes, bPayOff(i))
       docs(0) = bFirst(i)
       var j = 1
       while (j < cnt) { docs(j) = docs(j - 1) + r.getNum(); j += 1 }
       j = 0
       while (j < cnt) { tfs(j) = r.getNum().toInt; j += 1 }
+      j = 0
+      while (j < cnt) { dls(j) = r.getNum(); j += 1 }
       pos = 0
     }
 
@@ -226,6 +235,7 @@ object Postings {
 
     def docId: Long = docs(pos)
     def tf: Int = tfs(pos)
+    def dl: Long = dls(pos)
 
     /** Position at first posting with docId >= target; false if exhausted.
       * Never moves backwards.
@@ -259,15 +269,21 @@ object Postings {
 
   /** Decode a full segment (tests / small candidates). */
   def decodeAll(bytes: Array[Byte]): (Array[Long], Array[Int]) = {
+    val (d, t, _) = decodeAllWithDl(bytes)
+    (d, t)
+  }
+
+  def decodeAllWithDl(bytes: Array[Byte]): (Array[Long], Array[Int], Array[Long]) = {
     val it = new SegmentIterator(bytes)
     val n = it.numDocs.toInt
     val ds = new Array[Long](n)
     val ts = new Array[Int](n)
+    val ls = new Array[Long](n)
     var i = 0
     if (it.start()) {
-      ds(i) = it.docId; ts(i) = it.tf; i += 1
-      while (it.next()) { ds(i) = it.docId; ts(i) = it.tf; i += 1 }
+      ds(i) = it.docId; ts(i) = it.tf; ls(i) = it.dl; i += 1
+      while (it.next()) { ds(i) = it.docId; ts(i) = it.tf; ls(i) = it.dl; i += 1 }
     }
-    (ds, ts)
+    (ds, ts, ls)
   }
 }

@@ -1,0 +1,288 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.build.IndexBuild
+import graft.core.{Gram, Postings, Tokenizer}
+
+/** Query engine over a built index directory — the Spark-native rebuild of
+  * the reference's `search` path (reference: cmdSearch fts-lmdb.go:1046-1081,
+  * findCandidates 1128-1165, intersectGrams 1497-1528, fuzzyMatch 1530-1550,
+  * hasArg verify 1299-1311) plus BM25 top-k with block-max WAND per the
+  * north rule.
+  *
+  * Plan shapes:
+  *  - candidate retrieval prunes the gram-postings scan to the query grams'
+  *    bucket partitions (partition pruning) + key pushdown, then either
+  *    intersects as one hash aggregation (count == |Q|, partial+final agg,
+  *    one shuffle) or as a smallest-df-first semi-join chain;
+  *  - candidates are verified against chunk text AFTER hydration, exactly
+  *    like the reference's candidates-then-verify split;
+  *  - BM25 groups the query terms' segments by doc range (range_id) so the
+  *    WAND kernel runs document-partitioned; only per-range top-k rows and
+  *    the final global TakeOrdered cross the wire.
+  */
+class Search(spark: SparkSession, dir: String) extends Serializable {
+  import spark.implicits._
+
+  val stats: IndexBuild.DocStats = IndexBuild.readDocStats(dir)
+
+  private def termBucket(t: String): Int = {
+    // must match pmod(xxhash64(term), nBuckets) used at build
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+    val m = h % stats.nBuckets
+    (if (m < 0) m + stats.nBuckets else m).toInt
+  }
+
+  /** Dictionary lookup for query terms (term -> df). Tiny collect: the
+    * north rule's "broadcast dictionary" slice for this query.
+    */
+  def dictLookup(terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    spark.read.parquet(IndexBuild.dictDir(dir))
+      .where($"term".isin(terms: _*))
+      .select($"term", $"df".cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  def gramDictLookup(grams: Seq[Int]): Map[Int, Long] = {
+    if (grams.isEmpty) return Map.empty
+    spark.read.parquet(IndexBuild.gramDictDir(dir))
+      .where($"gram".isin(grams: _*))
+      .select($"gram", $"df".cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  import Search.Seg
+
+  /** Pruned scan of a postings table for the given keys. */
+  private def segments(keys: Seq[String], gramsTable: Boolean): org.apache.spark.sql.Dataset[Seg] = {
+    val path = if (gramsTable) IndexBuild.gramPostingsDir(dir)
+               else IndexBuild.termPostingsDir(dir)
+    val buckets =
+      if (gramsTable) keys.map(k => k.drop(1).toInt % stats.nBuckets).distinct
+      else keys.map(termBucket).distinct
+    spark.read.parquet(path)
+      .where($"bucket".isin(buckets: _*) && $"key".isin(keys: _*))
+      .select($"key", $"range_id", $"first_doc", $"postings")
+      .as[Seg]
+  }
+
+  /** Exploded (key, doc_id) postings for the given keys. */
+  private def exploded(keys: Seq[String], gramsTable: Boolean): DataFrame =
+    segments(keys, gramsTable)
+      .flatMap(s => Postings.decodeAll(s.postings)._1.map(d => (s.key, d)))
+      .toDF("key", "doc_id")
+
+  // ---------------------------------------------------------------- BM25
+
+  /** BM25 top-k (conjunctive = every term must match). Returns
+    * (doc_id, score) sorted (score desc, doc_id asc), exactly k rows max.
+    */
+  def bm25TopK(query: Seq[String], k: Int, conjunctive: Boolean): DataFrame = {
+    val terms = query.flatMap(Tokenizer.terms).distinct.sorted
+    val dict = dictLookup(terms)
+    val present = terms.filter(dict.contains)
+    val effective = if (conjunctive) {
+      if (present.size != terms.size) Seq.empty else terms
+    } else present
+    if (effective.isEmpty)
+      return spark.emptyDataset[Wand.ScoredDoc].toDF("doc_id", "score")
+    val n = stats.nDocs
+    val termMeta: Map[String, (Int, Double)] = effective.zipWithIndex.map {
+      case (t, i) => t -> (i, Wand.idf(n, dict(t)))
+    }.toMap
+    val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
+    val nTerms = effective.size
+    val conj = conjunctive
+    val perRange = segments(effective, gramsTable = false)
+      .groupByKey(_.range_id)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toArray.groupBy(_.key)
+        val cursors = termMeta.toArray.sortBy(_._2._1).flatMap { case (t, (idx, idfV)) =>
+          byTerm.get(t).map { segs =>
+            new Wand.TermCursor(idx, idfV,
+              segs.sortBy(_.first_doc).map(_.postings), k1, b)
+          }
+        }
+        if (conj && cursors.length != nTerms) Iterator.empty
+        else Wand.topK(cursors, k, conj, k1, b, avgdl).iterator
+      }
+    perRange.toDF("doc_id", "score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  /** Brute-force BM25 (oracle / small scale): same contributions summed in
+    * the same lexicographic term order — must be rank- and score-identical
+    * to [[bm25TopK]].
+    */
+  def bm25BruteForce(query: Seq[String], k: Int, conjunctive: Boolean): DataFrame = {
+    val terms = query.flatMap(Tokenizer.terms).distinct.sorted
+    val dict = dictLookup(terms)
+    if (terms.isEmpty || (conjunctive && !terms.forall(dict.contains)))
+      return spark.emptyDataset[Wand.ScoredDoc].toDF("doc_id", "score")
+    val present = terms.filter(dict.contains)
+    val n = stats.nDocs
+    val idfs = present.map(t => t -> Wand.idf(n, dict(t))).toMap
+    val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
+    val termsB = present.toArray // lex-sorted
+    val rows = spark.read.parquet(IndexBuild.docsDir(dir))
+      .select($"doc_id", $"dl", $"terms")
+      .as[(Long, Int, Array[IndexBuild.TermFreq])]
+      .flatMap { case (docId, dl, tfs) =>
+        val m = tfs.map(tf => tf.t -> tf.f).toMap
+        if (conjunctive && !termsB.forall(m.contains)) Iterator.empty
+        else {
+          var s = 0.0
+          var matched = false
+          termsB.foreach { t =>
+            m.get(t).foreach { f =>
+              s += Wand.contribution(idfs(t), f, dl.toLong, k1, b, avgdl)
+              matched = true
+            }
+          }
+          if (matched) Iterator(Wand.ScoredDoc(docId, s)) else Iterator.empty
+        }
+      }
+    rows.toDF("doc_id", "score").orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  // ------------------------------------------------- candidate retrieval
+
+  /** Conjunctive gram-candidate retrieval (reference intersectGrams,
+    * fts-lmdb.go:1497-1528) as one hash aggregation: a doc is a candidate
+    * iff it holds ALL query grams. Missing gram short-circuits to empty
+    * (reference exits 1).
+    */
+  def candidates(args: Seq[String], partial: Boolean = false): DataFrame = {
+    val grams = Gram.gramsSorted(partial, args)
+    if (grams.isEmpty) return spark.range(0).select($"id".as("doc_id"))
+    val df = gramDictLookup(grams.toSeq)
+    if (grams.exists(g => !df.contains(g)))
+      return spark.range(0).select($"id".as("doc_id"))
+    val keys = grams.map(g => s"g$g").toSeq
+    exploded(keys, gramsTable = true)
+      .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+      .where($"hits" === grams.length)
+      .select($"doc_id")
+  }
+
+  /** Same semantics as [[candidates]] but as a smallest-df-first left-semi
+    * join chain (the reference's seed-smallest strategy,
+    * fts-lmdb.go:1505-1514). Kept for plan comparison/benchmarks.
+    */
+  def candidatesSemiJoin(args: Seq[String], partial: Boolean = false): DataFrame = {
+    val grams = Gram.gramsSorted(partial, args)
+    if (grams.isEmpty) return spark.range(0).select($"id".as("doc_id"))
+    val dfs = gramDictLookup(grams.toSeq)
+    if (grams.exists(g => !dfs.contains(g)))
+      return spark.range(0).select($"id".as("doc_id"))
+    val ordered = grams.sortBy(g => dfs(g)) // ascending df: seed smallest
+    var acc = exploded(Seq(s"g${ordered.head}"), gramsTable = true).select("doc_id")
+    ordered.tail.foreach { g =>
+      acc = acc.join(exploded(Seq(s"g$g"), gramsTable = true).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    acc
+  }
+
+  /** Fuzzy gram-overlap scoring (reference fuzzyMatch fts-lmdb.go:1530-1550;
+    * forces partial grams per 1056-1061; any missing gram -> empty).
+    * Returns (doc_id, hits, ratio) for ratio >= minRatio.
+    */
+  def fuzzy(args: Seq[String], minRatio: Double): DataFrame = {
+    val grams = Gram.gramsSorted(partial = true, args)
+    val df = gramDictLookup(grams.toSeq)
+    if (grams.isEmpty || grams.exists(g => !df.contains(g)))
+      return spark.range(0).select($"id".as("doc_id"), lit(0L).as("hits"),
+        lit(0.0).as("ratio"))
+    val q = grams.length.toDouble
+    exploded(grams.map(g => s"g$g").toSeq, gramsTable = true)
+      .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+      .withColumn("ratio", $"hits" / lit(q))
+      .where($"ratio" >= minRatio)
+  }
+
+  // ------------------------------------------------------- full search
+
+  private val verifyUdf = udf { (chunk: String, args: Seq[String], partial: Boolean) =>
+    Tokenizer.verifyAll(chunk, args, partial)
+  }
+
+  /** Full reference search semantics: gram candidates -> hydrate chunk rows
+    * -> exact whole-word verify (AND of args) -> per-url ordering by
+    * position with optional per-url limit (reference -limit,
+    * fts-lmdb.go:1355-1365). Output columns mirror chunkInfo
+    * (fts-lmdb.go:1328-1350).
+    */
+  def search(args: Seq[String], partial: Boolean = false,
+             limitPerGroup: Int = Int.MaxValue): DataFrame = {
+    val cands = candidates(args, partial)
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    val hydrated = docs.join(cands, Seq("doc_id")) // candidate side is small
+      .withColumn("offset", verifyUdf($"chunk_text", lit(args.toArray), lit(partial)))
+      .where($"offset" >= 0)
+    val w = Window.partitionBy($"url").orderBy($"byte_start".asc, $"doc_id".asc)
+    hydrated.withColumn("rn", row_number().over(w))
+      .where($"rn" <= limitPerGroup)
+      .select($"url", $"doc_id", $"line", ($"rune_off" + 1).as("position"),
+        $"offset", $"chunk_text")
+      .orderBy($"url", $"byte_start")
+  }
+
+  /** File-cover search (reference -file mode, intersectFileGrams
+    * fts-lmdb.go:1449-1495): a url matches iff for EVERY arg there exists a
+    * chunk of that url whole-word-containing the arg (AND across args, OR
+    * across chunks), gram-prefiltered per arg.
+    */
+  def searchFiles(args: Seq[String], partial: Boolean = false): DataFrame = {
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    val perArg = args.zipWithIndex.map { case (a, i) =>
+      val cands = candidates(Seq(a), partial)
+      docs.join(cands, Seq("doc_id"))
+        .where(verifyUdf($"chunk_text", array(lit(a)), lit(partial)) >= 0)
+        .select($"url").distinct()
+        .withColumn("arg_i", lit(i))
+    }
+    perArg.reduce(_ union _)
+      .groupBy($"url").agg(countDistinct($"arg_i").as("n_args"))
+      .where($"n_args" === args.size)
+      .select($"url")
+      .orderBy($"url")
+  }
+
+  // ------------------------------------------------------- maintenance views
+
+  /** DB-wide stats (reference `info`, totalInfo fts-lmdb.go:257-317). */
+  def info(): DataFrame = {
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    val dict = spark.read.parquet(IndexBuild.dictDir(dir))
+    val gdict = spark.read.parquet(IndexBuild.gramDictDir(dir))
+    docs.agg(countDistinct($"url").as("n_urls"), count(lit(1)).as("n_chunks"),
+      sum($"dl".cast("long")).as("total_terms"))
+      .crossJoin(dict.agg(count(lit(1)).as("n_terms")))
+      .crossJoin(gdict.agg(count(lit(1)).as("n_grams")))
+  }
+
+  /** Gram selectivity histogram (reference `info -grams`, displayGrams
+    * fts-lmdb.go:319-381) — the skew diagnostic that motivates salting.
+    */
+  def gramHistogram(): DataFrame = {
+    spark.read.parquet(IndexBuild.gramDictDir(dir))
+      .agg(count(lit(1)).as("n_grams"), min($"df").as("min_df"),
+        max($"df").as("max_df"), sum($"df").as("total_postings"),
+        expr("percentile_approx(df, array(0.5, 0.9, 0.99), 10000)").as("df_pcts"))
+  }
+}
+
+object Search {
+  /** Posting-segment row projection used by query scans (top-level so the
+    * Dataset encoder's generated code can construct it).
+    */
+  final case class Seg(key: String, range_id: Int, first_doc: Long,
+                       postings: Array[Byte])
+}

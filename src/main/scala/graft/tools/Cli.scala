@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.build.IndexBuild
+import graft.query.Search
+import graft.sources.WebCorpus
+
+/** Command-line surface mirroring the reference CLI's command set
+  * (reference: cmds fts-lmdb.go:1782-1793 — create/input/search/info/...),
+  * driving the Spark engine end-to-end.
+  *
+  * usage:
+  *   Cli index INDEXDIR (--synth N | --parquet PATH) [--buckets B] [--ranges R]
+  *   Cli search INDEXDIR TERM...           (conjunctive candidates + verify)
+  *   Cli search-partial INDEXDIR TERM...
+  *   Cli fuzzy INDEXDIR RATIO TERM...
+  *   Cli bm25 INDEXDIR K and|or TERM...
+  *   Cli files INDEXDIR TERM...            (-file cover mode)
+  *   Cli info INDEXDIR
+  *   Cli grams-info INDEXDIR               (selectivity histogram)
+  */
+object Cli {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def show(df: DataFrame, n: Int = 50): Unit = df.show(n, truncate = false)
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "index" :: dir :: rest =>
+      val spark = session()
+      val docs = rest match {
+        case "--synth" :: n :: _ => WebCorpus.generate(spark, n.toLong)
+        case "--parquet" :: p :: _ => spark.read.parquet(p)
+        case "--readme" :: _ => WebCorpus.readmeCorpus(spark)
+        case _ => sys.error("index needs --synth N | --parquet PATH | --readme")
+      }
+      def intOpt(flag: String, dflt: Int): Int =
+        rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v.toInt }.getOrElse(dflt)
+      val stats = IndexBuild.build(spark, docs, dir, IndexBuild.Config(
+        nBuckets = intOpt("--buckets", 8), nRanges = intOpt("--ranges", 8),
+        docParts = intOpt("--docparts", 8)))
+      println(s"indexed n_docs=${stats.nDocs} resumedChunkParts=${stats.resumedChunks} " +
+        s"resumedTermBuckets=${stats.resumedTermBuckets}")
+    case "search" :: dir :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).search(terms))
+    case "search-partial" :: dir :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).search(terms, partial = true))
+    case "fuzzy" :: dir :: ratio :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).fuzzy(terms, ratio.toDouble))
+    case "bm25" :: dir :: k :: mode :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).bm25TopK(terms, k.toInt, mode == "and"))
+    case "files" :: dir :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).searchFiles(terms))
+    case "info" :: dir :: Nil =>
+      show(new Search(session(), dir).info())
+    case "grams-info" :: dir :: Nil =>
+      show(new Search(session(), dir).gramHistogram())
+    case _ =>
+      System.err.println("see Cli scaladoc for usage"); sys.exit(1)
+  }
+}

@@ -25,8 +25,9 @@ class PostingsSpec extends AnyFunSuite {
     for (n <- Seq(0, 1, 5, 127, 128, 129, 1000); bs <- Seq(4, 128)) {
       val ps = randPostings(r, n)
       val bytes = build(ps, bs)
-      val (ds, ts) = Postings.decodeAll(bytes)
-      assert(ds.toSeq == ps.map(_._1) && ts.toSeq == ps.map(_._2), s"n=$n bs=$bs")
+      val (ds, ts, ls) = Postings.decodeAllWithDl(bytes)
+      assert(ds.toSeq == ps.map(_._1) && ts.toSeq == ps.map(_._2) &&
+        ls.toSeq == ps.map(_._3), s"n=$n bs=$bs")
     }
   }
 
