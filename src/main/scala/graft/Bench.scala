@@ -1,24 +1,126 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.build.IndexBuild
+import graft.query.Search
+import graft.sources.WebCorpus
+
+/** Benchmark main (driver contract): index-build throughput + BM25/search
+  * query latency over SPARK_GRAFT_SF_DIR. Prints ONE JSON line.
+  *
+  * Env knobs:
+  *  - SPARK_GRAFT_CPUS: parallelism for a single-level run (default 32)
+  *  - SPARK_GRAFT_SCALE_LEVELS: e.g. "4,16" — run every level in-process
+  *    and report per-level build times + N->4N scaling efficiency
+  *  - SPARK_GRAFT_REPEAT: repetitions per level, min taken (default 1;
+  *    use >=3 for scaling evidence — this sandbox VM's CPU allocation
+  *    fluctuates ~2x run-to-run, and min is the robust estimator)
+  *  - SPARK_GRAFT_NDOCS: corpus size override (default 1.6M * sf)
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private val tmpRoot =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+
+  private def session(cpus: Int): SparkSession = {
+    // tmpfs for shuffle + index output: a cluster writes these to many
+    // node-local disks / object storage in parallel; a single local disk
+    // would measure that disk, not the engine
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus * 3)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"$tmpRoot/graft-spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One full build + query pass; returns (phase -> seconds, nChunks). */
+  private def pass(spark: SparkSession, cpus: Int, nDocs: Long):
+      (scala.collection.immutable.ListMap[String, Double], Long) = {
+    val idxDir = s"$tmpRoot/graft_bench_idx_$cpus"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    val corpus = WebCorpus.generate(spark, nDocs, seed = 42L, partitions = cpus)
+    var results = scala.collection.immutable.ListMap.empty[String, Double]
+    // identical index layout at every CPU level: same logical job
+    val (bstats, buildSec) = time {
+      IndexBuild.build(spark, corpus, idxDir, IndexBuild.Config(
+        nBuckets = 16, nRanges = 32, docParts = 32,
+        shufflePartitions = cpus * 3))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    results += "index_build" -> buildSec
+    val search = new Search(spark, idxDir)
+    def q(name: String)(f: => Long): Unit = {
+      val (_, warm) = time(f)
+      val (_, sec) = time(f)
+      results += name -> math.min(warm, sec)
+    }
+    q("bm25_or_hot") { search.bm25TopK(Seq("the", "of", "and"), 10, conjunctive = false).count() }
+    q("bm25_and_hot") { search.bm25TopK(Seq("the", "of", "and"), 10, conjunctive = true).count() }
+    q("bm25_or_mixed") { search.bm25TopK(Seq("w12x84", "the"), 10, conjunctive = false).count() }
+    q("bm25_and_tail") { search.bm25TopK(Seq("w3x21", "w7x49"), 10, conjunctive = true).count() }
+    q("search_verify") { search.search(Seq("word", "one")).count() }
+    q("fuzzy") { search.fuzzy(Seq("other"), 0.6).count() }
+    q("candidates") { search.candidates(Seq("which", "there")).count() }
+    (results, bstats.nDocs)
+  }
+
+  private def minByKey(passes: Seq[Map[String, Double]]): Map[String, Double] =
+    passes.flatten.groupMapReduce(_._1)(_._2)(math.min)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nDocs = sys.env.get("SPARK_GRAFT_NDOCS").map(_.toLong)
+      .getOrElse(math.max(4000L, (sf * 1600000).toLong))
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val levels = sys.env.get("SPARK_GRAFT_SCALE_LEVELS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
+
+    var perLevel = scala.collection.immutable.ListMap.empty[Int, Map[String, Double]]
+    var nChunks = 0L
+    levels.foreach { cpus =>
+      val spark = session(cpus)
+      val passes = (1 to repeat).map { _ =>
+        val (r, n) = pass(spark, cpus, nDocs)
+        nChunks = n
+        r: Map[String, Double]
+      }
+      perLevel += cpus -> minByKey(passes)
+      spark.stop()
+      // allow a fresh context with a different master next level
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    val main = perLevel(levels.last)
+    val total = main.values.sum
+    val qs = main.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val scaling =
+      if (levels.size >= 2) {
+        val tN = perLevel(levels.head)("index_build")
+        val t4N = perLevel(levels.last)("index_build")
+        val ratio = levels.last.toDouble / levels.head
+        s""","scaling":{"levels":[${levels.mkString(",")}],""" +
+          s""""build_sec":[${levels.map(l => f"${perLevel(l)("index_build")}%.3f").mkString(",")}],""" +
+          s""""speedup":${f"${tN / t4N}%.3f"},"efficiency":${f"${tN / t4N / ratio}%.3f"}}"""
+      } else ""
+    val buildSec = main("index_build")
+    println(
+      s"""{"metric":"index-build + BM25/search latency","value":${f"$total%.3f"},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir","cpus":${levels.last},""" +
+        s""""n_pages":$nDocs,"n_chunks":$nChunks,""" +
+        s""""build_pages_per_sec":${f"${nDocs / buildSec}%.1f"},""" +
+        s""""build_chunks_per_sec":${f"${nChunks / buildSec}%.1f"}$scaling}""")
   }
 }

@@ -1,13 +1,328 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.build.IndexBuild
+import graft.core.Gram
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.query.Search
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + training-data ops), each with a DuckDB oracle over the
+  * same parquet tables. Engine-backed entries (q10+) run the REAL inverted
+  * index + WAND engine over a temp index built once per sf dir; the oracle
+  * re-derives the same answer relationally in SQL.
+  *
+  * Determinism rules used throughout: integer permille/micro outputs via
+  * integer division (`div` == DuckDB `//`) or floor of identically-shaped
+  * double folds; every result has a total ORDER BY; every integer column is
+  * cast to BIGINT to match DuckDB's int64.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // bump when the on-disk index format changes (invalidates temp indexes)
+  private final val IndexFormatVersion = 3
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Build (once) a whole-doc-chunk index over documents.parquet.
+    * url = zero-padded doc_id so engine doc ids == documents.doc_id.
+    */
+  def indexFor(spark: SparkSession, sfDir: String): String =
+    indexCache.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft_index_v${IndexFormatVersion}_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "docstats.json"))) {
+        val docs = docsTable(spark, sfDir).select(
+          format_string("doc://%012d", col("doc_id")).as("url"),
+          lit("2020-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+          col("text"), col("lang"))
+        IndexBuild.build(spark, docs, dir, IndexBuild.Config(
+          nBuckets = 8, nRanges = 8, docParts = 8, shufflePartitions = 16,
+          lineChunks = false))
+      }
+      dir
+    })
+
+  private def engine(spark: SparkSession, sfDir: String): Search =
+    new Search(spark, indexFor(spark, sfDir))
+
+  /** engine doc_id (dense by padded url) == documents.doc_id; still parse
+    * from the url for robustness.
+    */
+  private def urlToDocId = expr("CAST(substring(url, 7) AS long)")
+
+  // shared fixed query constants (embedded in the oracles below)
+  private val QTerms = Seq("batch", "order", "window") // lex order
+  private val FuzzyArgs = Seq("window", "scan")
+  private val FuzzyGrams = Gram.gramsSorted(partial = true, FuzzyArgs).map(Gram.gramString)
+  private val CandGrams = Gram.gramsSorted(partial = false, Seq("order", "batch")).map(Gram.gramString)
+
+  /** Flagship: conjunctive BM25 top-10 through the WAND engine on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = engine(spark, "/root/testdata/sf0.001")
+    s.bm25TopK(QTerms, 10, conjunctive = true)
+  }
+
+  private def bm25Out(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      expr("CAST(floor(score * 1000000) AS long)").as("score_micro"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tokenizer / dictionary / stats (P1/P2/A2/A3/A4/A5/A7)
+    "q01_terms_df" -> ((s, d) => TextOps.termDf(docsTable(s, d))),
+    "q02_doc_stats" -> ((s, d) => TextOps.docStats(docsTable(s, d))
+      .select(col("doc_id"), col("dl").cast("long"), col("n_terms").cast("long"))),
+    "q03_gram_df" -> ((s, d) => TextOps.gramDf(docsTable(s, d))),
+    "q04_gram_histogram" -> ((s, d) => TextOps.gramHistogram(docsTable(s, d))),
+    "q05_corpus_info" -> ((s, d) => TextOps.corpusInfo(docsTable(s, d))),
+    // ---- relational search shapes (J1/J4/P4/W1/W5)
+    "q06_search_relational" -> ((s, d) =>
+      TextOps.searchAnd(docsTable(s, d), Seq("order", "batch"))),
+    "q07_cover_sources" -> ((s, d) =>
+      TextOps.coverSources(docsTable(s, d), QTerms)),
+    "q08_topk_per_source" -> ((s, d) =>
+      TextOps.topKPerSource(docsTable(s, d), 3)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rn").cast("long"))),
+    // ---- engine-backed: real index + candidates/verify/fuzzy/BM25-WAND
+    "q10_candidates" -> ((s, d) => {
+      val e = engine(s, d)
+      val docs = s.read.parquet(IndexBuild.docsDir(indexFor(s, d)))
+      e.candidates(Seq("order", "batch")).join(docs.select("doc_id", "url"), "doc_id")
+        .select(urlToDocId.as("doc_id")).orderBy("doc_id")
+    }),
+    "q11_search_and" -> ((s, d) =>
+      engine(s, d).search(Seq("order", "batch"))
+        .select(urlToDocId.as("doc_id")).orderBy("doc_id")),
+    "q12_search_partial" -> ((s, d) =>
+      engine(s, d).search(Seq("bat"), partial = true)
+        .select(urlToDocId.as("doc_id")).orderBy("doc_id")),
+    "q13_fuzzy" -> ((s, d) => {
+      val e = engine(s, d)
+      val docs = s.read.parquet(IndexBuild.docsDir(indexFor(s, d)))
+      e.fuzzy(FuzzyArgs, 0.5).join(docs.select("doc_id", "url"), "doc_id")
+        .select(urlToDocId.as("doc_id"), col("hits").cast("long"),
+          expr(s"CAST((hits * 1000) div ${FuzzyGrams.length} AS long)").as("permille"))
+        .orderBy("doc_id")
+    }),
+    "q14_bm25_disjunctive" -> ((s, d) =>
+      bm25Out(engine(s, d).bm25TopK(QTerms, 10, conjunctive = false))),
+    "q15_bm25_conjunctive" -> ((s, d) =>
+      bm25Out(engine(s, d).bm25TopK(QTerms, 10, conjunctive = true))),
+    // ---- maintenance shapes (M1-M3)
+    "q16_update_diff" -> ((s, d) => TextOps.updateDiff(docsTable(s, d))),
+    "q17_compacted_df" -> ((s, d) => TextOps.compactedDf(docsTable(s, d))),
+    // ---- dedup suite
+    "q19_dedup_prefix" -> ((s, d) => Dedup.prefixDupGroups(docsTable(s, d), 8)),
+    "q20_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(docsTable(s, d))),
+    "q21_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docsTable(s, d), 500)),
+    "q22_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(docsTable(s, d), 600)),
+    "q23_simhash" -> ((s, d) => Dedup.simhash(docsTable(s, d))),
+    // ---- similarity search
+    "q24_ann_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(embTable(s, d), 3, 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_permille"),
+          col("rn").cast("long"))),
+    "q25_ann_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBuckets(embTable(s, d)).orderBy("vec_id")),
+    // ---- text analysis
+    "q26_lang_id" -> ((s, d) => TextOps.langId(docsTable(s, d))),
+    "q27_quality" -> ((s, d) => TextOps.qualityScore(docsTable(s, d))
+      .select(col("doc_id"), col("n_tokens").cast("long"),
+        col("len_chars").cast("long"), col("avg_wordlen_permille"),
+        col("alpha_permille"), col("stopword_permille"))),
+    "q28_token_counts" -> ((s, d) => TextOps.tokenCounts(docsTable(s, d))
+      .select(col("doc_id"), col("ws_tokens").cast("long"),
+        col("bpe_ish_tokens").cast("long"))),
+    "q29_fingerprint" -> ((s, d) => TextOps.fingerprint(docsTable(s, d)))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val W =
+    "SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS arr FROM documents"
+  private val TOK = s"SELECT doc_id, unnest(arr) AS term FROM ($W)"
+  private val GRAMS =
+    s"""SELECT DISTINCT doc_id, substr(p, i, 3) AS gram
+        FROM (SELECT doc_id, '.' || upper(term) || '.' AS p FROM ($TOK)),
+             unnest(range(1, length(p) - 1)) AS u(i)"""
+
+  private def ww(t: String) = s"regexp_matches(lower(text), '(^|[^0-9a-z])$t([^0-9a-z]|$$)')"
+  private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
+
+  private val BM25Scored =
+    s"""WITH w AS ($W),
+        dl AS (SELECT doc_id, len(arr) AS dl FROM w),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST((SELECT sum(len(arr)) FROM w) AS DOUBLE) / count(*) AS avgdl
+                  FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM ($TOK)
+               WHERE term IN (${inList(QTerms)}) GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (1.2 + 1)
+                     * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))) AS s,
+                 count(*) AS nt
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id)"""
+
+  private val ShingleCte =
+    s"""WITH w AS ($W),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+          FROM w WHERE len(arr) >= 3)),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jac AS (SELECT da, db, (common * 1000) // (ca.n + cb.n - common) AS jaccard_permille
+                FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)"""
+
+  private val CosExpr =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len(qe) + 1),
+           i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))), (acc, v) -> acc + v)
+       / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
+       / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ne, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
+       * 1000"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_terms_df" ->
+      s"SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM ($TOK) GROUP BY term ORDER BY term",
+    "q02_doc_stats" ->
+      s"SELECT doc_id, len(arr) AS dl, len(list_distinct(arr)) AS n_terms FROM ($W) ORDER BY doc_id",
+    "q03_gram_df" ->
+      s"SELECT gram, count(*) AS df FROM ($GRAMS) GROUP BY gram ORDER BY gram",
+    "q04_gram_histogram" ->
+      s"""SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket, count(*) AS n_grams
+          FROM (SELECT gram, count(*) AS df FROM ($GRAMS) GROUP BY gram)
+          GROUP BY 1 ORDER BY 1""",
+    "q05_corpus_info" ->
+      s"""SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+          CAST((SELECT sum(len(arr)) FROM ($W)) AS BIGINT) AS total_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents""",
+    "q06_search_relational" ->
+      s"SELECT doc_id FROM documents WHERE ${ww("order")} AND ${ww("batch")} ORDER BY doc_id",
+    "q07_cover_sources" ->
+      s"""SELECT source FROM documents GROUP BY source
+          HAVING ${QTerms.map(t => s"bool_or(${ww(t)})").mkString(" AND ")}
+          ORDER BY source""",
+    "q08_topk_per_source" ->
+      s"""SELECT source, doc_id, n_chars, rn FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents) WHERE rn <= 3 ORDER BY source, rn""",
+    "q10_candidates" ->
+      s"""SELECT doc_id FROM ($GRAMS) WHERE gram IN (${inList(CandGrams.toSeq)})
+          GROUP BY doc_id HAVING count(*) = ${CandGrams.length} ORDER BY doc_id""",
+    "q11_search_and" ->
+      s"SELECT doc_id FROM documents WHERE ${ww("order")} AND ${ww("batch")} ORDER BY doc_id",
+    "q12_search_partial" ->
+      "SELECT doc_id FROM documents WHERE lower(text) LIKE '%bat%' ORDER BY doc_id",
+    "q13_fuzzy" ->
+      s"""SELECT doc_id, count(*) AS hits,
+          (count(*) * 1000) // ${FuzzyGrams.length} AS permille
+          FROM ($GRAMS) WHERE gram IN (${inList(FuzzyGrams.toSeq)})
+          GROUP BY doc_id HAVING count(*) * 2 >= ${FuzzyGrams.length} ORDER BY doc_id""",
+    "q14_bm25_disjunctive" ->
+      s"""$BM25Scored SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_micro
+          FROM scored ORDER BY s DESC, doc_id LIMIT 10""",
+    "q15_bm25_conjunctive" ->
+      s"""$BM25Scored SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_micro
+          FROM scored WHERE nt = ${QTerms.size} ORDER BY s DESC, doc_id LIMIT 10""",
+    "q16_update_diff" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id",
+    "q17_compacted_df" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+          FROM (SELECT doc_id, unnest(arr) AS term FROM ($W) WHERE doc_id % 7 <> 0)
+          GROUP BY term ORDER BY term""",
+    "q19_dedup_prefix" ->
+      s"""SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM ($W)
+          GROUP BY array_to_string(arr[1:8], ' ') HAVING count(*) > 1 ORDER BY keeper""",
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
+         GROUP BY text HAVING count(*) > 1 ORDER BY keeper""",
+    "q21_jaccard_pairs" ->
+      s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
+    "q22_minhash_lsh_pairs" ->
+      s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 600 ORDER BY da, db",
+    "q23_simhash" ->
+      s"""WITH w AS ($W),
+          tf AS (SELECT doc_id, term, count(*) AS f FROM ($TOK) GROUP BY 1, 2),
+          h AS (SELECT doc_id, f,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split_regex(term, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS hv FROM tf),
+          bits AS (SELECT doc_id, b.i AS bit,
+                   sum(CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1 THEN f ELSE -f END) AS v
+                   FROM h, (SELECT unnest(range(0, ${Dedup.SimHashBits})) AS i) b
+                   GROUP BY 1, 2)
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q24_ann_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings WHERE vec_id >= 3),
+          s AS (SELECT query_id, neighbor_id,
+                CAST(floor($CosExpr) AS BIGINT) AS cos_permille FROM q, c)
+          SELECT query_id, neighbor_id, cos_permille, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_permille DESC, neighbor_id) AS rn FROM s)
+          WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q25_ann_lsh_buckets" -> {
+      val bitExprs = (0 until Similarity.LshPlanes).map { i =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(embedding) + 1), j ->
+                CAST(embedding[j] AS DOUBLE) *
+                (CASE WHEN ((CAST(j - 1 AS BIGINT) * 19349663 + $i * 73856093) % 97) % 2 = 0
+                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+              (acc, v) -> acc + v) >= 0
+            THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"""
+      }.mkString(" + ")
+      s"SELECT vec_id, CAST($bitExprs AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+    },
+    "q26_lang_id" ->
+      s"""WITH w AS ($W),
+          c AS (SELECT doc_id,
+            len(list_filter(arr, x -> x IN ('the', 'scan', 'sort'))) AS c_en,
+            len(list_filter(arr, x -> x IN ('order', 'column', 'part'))) AS c_es,
+            len(list_filter(arr, x -> x IN ('window', 'agg', 'value'))) AS c_de
+            FROM w),
+          g AS (SELECT doc_id, c_en, c_es, c_de, greatest(c_en, c_es, c_de) AS best FROM c)
+          SELECT doc_id, CASE
+            WHEN best = 0 THEN 'und'
+            WHEN (CASE WHEN c_en = best THEN 1 ELSE 0 END +
+                  CASE WHEN c_es = best THEN 1 ELSE 0 END +
+                  CASE WHEN c_de = best THEN 1 ELSE 0 END) > 1 THEN 'und'
+            WHEN c_en = best THEN 'en' WHEN c_es = best THEN 'es' ELSE 'de' END AS pred_lang
+          FROM g ORDER BY doc_id""",
+    "q27_quality" ->
+      s"""SELECT doc_id, len(arr) AS n_tokens, length(text) AS len_chars,
+          CASE WHEN len(arr) = 0 THEN 0 ELSE
+            (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(arr, w -> length(w))), (a, v) -> a + v) * 1000) // len(arr) END AS avg_wordlen_permille,
+          (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000) // greatest(length(text), 1) AS alpha_permille,
+          CASE WHEN len(arr) = 0 THEN 0 ELSE
+            (len(list_filter(arr, w -> w IN ('the', 'of', 'and', 'to', 'in', 'a', 'is'))) * 1000) // len(arr) END AS stopword_permille
+          FROM (SELECT d.doc_id, d.text, w.arr FROM documents d JOIN ($W) w USING (doc_id))
+          ORDER BY doc_id""",
+    "q28_token_counts" ->
+      s"""SELECT doc_id,
+          len(list_filter(string_split_regex(text, '[ \\t\\n]+'), x -> x <> '')) AS ws_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+          FROM documents ORDER BY doc_id""",
+    "q29_fingerprint" ->
+      s"""SELECT doc_id, CASE WHEN len(arr) = 0 THEN 0 ELSE
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(arr, w -> CAST(unicode(substr(w, 1, 1)) AS BIGINT) * 1000 + length(w))),
+            (acc, v) -> (acc * 131 + v) % 1000000007) END AS fp
+          FROM ($W) ORDER BY doc_id"""
+  )
 }

@@ -109,29 +109,38 @@ object IndexBuild {
       .where(col("docpart").isin(missing: _*))
       .select($"url", $"warc_ts", $"lang", $"text", $"docpart")
       .as[(String, Timestamp, String, String, Int)]
-      // range-partition by docpart so each write task owns ~1 partition dir
-      .repartitionByRange(math.max(missing.size, 1), col("docpart"), col("url"))
+    // NO shuffle here: tokenizing in-place off the source scan avoids moving
+    // raw text across the wire (at 100TB that shuffle would dominate the
+    // build). Each scan task writes to the docpart dirs it encounters —
+    // more, smaller files, which Iceberg/bin-packing compacts in production.
     val chunked = src.flatMap { case (url, ts, lang, text, part) =>
       chunkDoc(url, ts, lang, part, text, cfg.lineChunks)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     chunked.write.mode("overwrite").partitionBy("docpart").parquet(chunksDir(dir))
     val wallMs = (System.nanoTime() - t0) / 1000000
-    // read-back metrics per completed unit (metadata-cheap: two columns)
+    // per-unit metrics without re-reading data: row counts come from
+    // parquet footers (count over partition column only), bytes from the
+    // filesystem listing of each partition dir
     val stats = spark.read.parquet(chunksDir(dir))
       .where(col("docpart").isin(missing: _*))
       .groupBy("docpart")
-      .agg(count(lit(1)).as("rows"), sum(length($"chunk_text")).as("bytes"),
-        max($"warc_ts").cast("string").as("wm"))
+      .agg(count(lit(1)).as("rows"), max($"warc_ts").cast("string").as("wm"))
       .collect()
-    val byPart = stats.map(r => r.getInt(0) ->
-      (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2), r.getString(3))).toMap
+    val byPart = stats.map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
     missing.foreach { p =>
-      val (rows, bytes, wm) = byPart.getOrElse(p, (0L, 0L, ""))
+      val (rows, wm) = byPart.getOrElse(p, (0L, ""))
+      val bytes = dirBytes(s"${chunksDir(dir)}/docpart=$p")
       Manifest.append(dir, Manifest.Entry("chunks", p.toString, rows, bytes,
         wm, wallMs / missing.size))
     }
     done.size
+  }
+
+  private def dirBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.isDirectory) 0L
+    else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
   }
 
   /** Stage 2 — stable dense doc ids: global rank in (url, chunk_seq) order
@@ -144,41 +153,30 @@ object IndexBuild {
     if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
     val t0 = System.nanoTime()
     val chunks = spark.read.parquet(chunksDir(dir))
-    val urlCounts = chunks.groupBy("url").agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(cfg.shufflePartitions, $"url")
-      .sortWithinPartitions("url")
-      .select($"url", $"cnt".cast("long"))
-      .as[(String, Long)]
-    urlCounts.cache()
-    // two-phase prefix sum: per-partition totals -> driver cumsum -> bases.
-    // The base of a url = #chunks on all urls sorted before it — invariant
-    // to where range boundaries fall, so doc ids are stable across runs
-    // and cluster sizes.
-    val partTotals = urlCounts.rdd
-      .mapPartitionsWithIndex { case (pid, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bases = urlCounts.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var acc = offsets(pid)
-      it.map { case (url, cnt) => val b = acc; acc += cnt; (url, b) }
-    }.toDF("url", "base")
-    val nDocs = offsets.last
-    val withIds = chunks.join(bases, Seq("url"))
-      .withColumn("doc_id", $"base" + $"chunk_seq")
-      .drop("base")
-    withIds
-      .repartitionByRange(cfg.shufflePartitions, $"doc_id")
-      .sortWithinPartitions("doc_id")
+    // ONE shuffle: range-sort by (url, chunk_seq), then doc_id = global rank
+    // via zipWithIndex (partition-prefix counts). The rank is invariant to
+    // where range boundaries fall, so ids are stable across runs and
+    // cluster sizes. Output files are already doc_id-ascending, so parquet
+    // min/max stats give doc_id range pruning with no extra shuffle.
+    val sorted = chunks
+      .repartitionByRange(cfg.shufflePartitions, $"url", $"chunk_seq")
+      .sortWithinPartitions("url", "chunk_seq")
+    val schema = sorted.schema.add("doc_id", org.apache.spark.sql.types.LongType)
+    val withIds = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      }, schema)
+    // doc stats ride along with the write (Observation): no extra pass
+    val obs = org.apache.spark.sql.Observation()
+    withIds.observe(obs, count(lit(1)).as("n"),
+        sum($"dl".cast("long")).as("sum_dl"),
+        max($"warc_ts").cast("string").as("wm"))
       .write.mode("overwrite").parquet(docsDir(dir))
-    urlCounts.unpersist()
-    val agg = spark.read.parquet(docsDir(dir))
-      .agg(count(lit(1)), sum($"dl".cast("long")), max($"warc_ts").cast("string"))
-      .head()
-    val n = agg.getLong(0)
-    val sumDl = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    val wm = if (agg.isNullAt(2)) "" else agg.getString(2)
-    require(n == nDocs, s"id assignment mismatch: $n vs $nDocs")
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    val sumDl = Option(m("sum_dl")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val wm = Option(m("wm")).map(_.toString).getOrElse("")
+    val nDocs = n
     val rangeSize = math.max(1L, (nDocs + cfg.nRanges - 1) / cfg.nRanges)
     val stats = DocStats(nDocs, sumDl, if (n == 0) 1.0 else sumDl.toDouble / n,
       rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm)

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes: exact dedup is a hash aggregation on a text digest (never
+  * shuffle raw text to dedup it); shingle-join near-dup is exact but
+  * pair-quadratic in hot shingles, so the 100TB path is MinHash+LSH:
+  * signatures shrink each doc to `NumHashes` longs, banding buckets
+  * candidates, and only bucket-colliding pairs are verified exactly.
+  * All hash functions are integer-exact and SQL-expressible so every op is
+  * oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text equality (hash-groupBy shape):
+    * (keeper = min doc_id, n_dups) for groups with >1 member.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+      .select("keeper", "n_dups").orderBy("keeper")
+
+  /** Near-exact dedup by n-word-prefix fingerprint (URL/boilerplate-dedup
+    * shape): groups sharing their first n words.
+    */
+  def prefixDupGroups(docs: DataFrame, n: Int): DataFrame =
+    TextOps.withWords(docs)
+      .groupBy(concat_ws(" ", slice(col("arr"), 1, n)).as("pfx"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+      .select("keeper", "n_dups").orderBy("keeper")
+
+  /** Distinct word-3-shingles per doc: (doc_id, s). */
+  def shingles(docs: DataFrame): DataFrame =
+    TextOps.withWords(docs).where(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(arr)-2), i -> concat(element_at(arr,i),' ',element_at(arr,i+1),' ',element_at(arr,i+2)))")).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs >= threshold (permille, integer):
+    * shingle self-join -> common counts -> |A ∪ B| = |A|+|B|-common.
+    */
+  def jaccardPairs(docs: DataFrame, thresholdPermille: Int): DataFrame = {
+    val sh = shingles(docs).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard_permille",
+        expr("(common * 1000) div (na + nb - common)"))
+      .where(col("jaccard_permille") >= thresholdPermille)
+      .select("da", "db", "jaccard_permille").orderBy("da", "db")
+  }
+
+  /** Integer shingle hash, identical in Spark and DuckDB SQL:
+    * fold chars: (acc*31 + codepoint) % 1000000007.
+    */
+  // NB: Spark split(s,'') keeps a trailing '' (limit -1); filter it so the
+  // char list matches DuckDB's string_split_regex(s,'') exactly.
+  val ShingleHashSql =
+    "aggregate(filter(split(s, ''), c -> c <> ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+
+  final val NumHashes = 16
+  final val BandRows = 2 // 8 bands x 2 rows
+  final val MinHashP = 2147483647L // 2^31-1, keeps a*h+b within BIGINT
+  /** Fixed affine coefficients (deterministic, embedded in oracle SQL too). */
+  val HashA: Seq[Long] = (1 to NumHashes).map(i => 2L * i * 104729L + 1L)
+  val HashB: Seq[Long] = (1 to NumHashes).map(i => i * 7919L)
+
+  /** MinHash signatures: (doc_id, sig: array[NumHashes] of long). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs)
+      .withColumn("hv", expr(ShingleHashSql))
+    val minCols = (0 until NumHashes).map { i =>
+      min(expr(s"(${HashA(i)} * hv + ${HashB(i)}) % $MinHashP")).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs, exactly verified: band on BandRows-tuples
+    * of the signature, join colliding docs, then verify TRUE Jaccard >=
+    * threshold. The verify step makes the output exact whenever LSH recall
+    * is 1.0 on the dataset (the banding only bounds the candidate set).
+    */
+  def minhashLshPairs(docs: DataFrame, thresholdPermille: Int): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val nBands = NumHashes / BandRows
+    val bands = (0 until nBands).map { bIdx =>
+      val cols = (bIdx * BandRows until (bIdx + 1) * BandRows).map(i => col(s"m$i"))
+      sig.select(col("doc_id"), lit(bIdx).as("band"),
+        concat_ws("_", cols: _*).as("bkey"))
+    }.reduce(_ union _)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    // exact verify on the candidate pairs only
+    val sh = shingles(docs)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands.join(sh.withColumnRenamed("doc_id", "da"), "da")
+      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("s", "s2"), "db")
+      .where(col("s") === col("s2"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard_permille", expr("(common * 1000) div (na + nb - common)"))
+      .where(col("jaccard_permille") >= thresholdPermille)
+      .select("da", "db", "jaccard_permille").orderBy("da", "db")
+  }
+
+  /** Word hash for SimHash — same fold as shingle hash but over a word. */
+  val WordHashSql =
+    "aggregate(filter(split(w, ''), c -> c <> ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+
+  final val SimHashBits = 30 // < 31 so hv bit extraction stays in range
+
+  /** 30-bit SimHash per doc from tf-weighted word-hash bit votes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordTf = TextOps.tokens(docs)
+      .groupBy(col("doc_id"), col("term").as("w"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("hv", expr(WordHashSql))
+    val bits = wordTf.select(col("doc_id"), col("f"), col("hv"),
+        explode(expr(s"sequence(0, ${SimHashBits - 1})")).as("bit"))
+      .withColumn("vote",
+        expr("CASE WHEN (shiftright(hv, cast(bit AS int)) & 1) = 1 THEN f ELSE -f END"))
+      .groupBy("doc_id", "bit").agg(sum(col("vote")).as("v"))
+    bits.withColumn("contrib",
+        expr("CASE WHEN v >= 0 THEN shiftleft(1L, cast(bit AS int)) ELSE 0L END"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exactness baseline (one broadcast of the
+  * query vectors, a single pass over the table — scales linearly and
+  * shuffles only (query, k) winner rows). The LSH-bucketed variant is the
+  * 100TB path: sign-random-projection buckets shrink the candidate set so
+  * the exact re-rank touches only colliding rows.
+  */
+object Similarity {
+
+  /** Cosine similarity in permille, computed with explicit left-to-right
+    * double accumulation (`aggregate` over zipped products) so any engine
+    * evaluating the same expression sequentially reproduces it.
+    */
+  private def cosinePermilleExpr(a: String, b: String): String =
+    s"""CAST(floor(
+          aggregate(zip_with($a, $b, (x, y) -> CAST(x AS double) * CAST(y AS double)), CAST(0.0 AS double), (acc, v) -> acc + v)
+          / sqrt(aggregate($a, CAST(0.0 AS double), (acc, v) -> acc + CAST(v AS double) * CAST(v AS double)))
+          / sqrt(aggregate($b, CAST(0.0 AS double), (acc, v) -> acc + CAST(v AS double) * CAST(v AS double)))
+          * 1000) AS long)"""
+
+  /** Brute-force top-k neighbors for each query vector (vec_id < nQueries)
+    * among the rest, ranked by exact cosine (desc, then neighbor id).
+    */
+  def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = q.join(broadcast(c).hint("broadcast"), lit(true))
+      .withColumn("cos_permille", expr(cosinePermilleExpr("qe", "ne")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_permille").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  final val LshPlanes = 12
+
+  /** Sign-random-projection bucket id per vector: bit i = sign of the dot
+    * product with a deterministic ±1 pseudo-plane (integer-hash components).
+    * Computed as an in-row array fold — deterministic order, no shuffle.
+    */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val bucket = (0 until LshPlanes).map { i =>
+      // BIGINT arithmetic: dim*19349663 + plane*73856093 overflows int32
+      val dot =
+        s"""aggregate(transform(embedding, (x, i_dim) ->
+              CAST(x AS double) * (CASE WHEN ((CAST(i_dim AS bigint) * 19349663 + $i * 73856093) % 97) % 2 = 0
+                                   THEN CAST(1.0 AS double) ELSE CAST(-1.0 AS double) END)),
+            CAST(0.0 AS double), (acc, v) -> acc + v)"""
+      expr(s"CASE WHEN $dot >= 0 THEN shiftleft(1L, $i) ELSE 0L END")
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  final val LshBands = 3 // 3 bands x 4 planes: high recall for cos >= ~0.9
+
+  /** Banded bucket rows (vec_id, band, bkey): pairs are candidates when they
+    * collide in ANY band (OR-amplification for recall).
+    */
+  def lshBandedBuckets(emb: DataFrame): DataFrame = {
+    val planesPerBand = LshPlanes / LshBands
+    val b = lshBuckets(emb)
+    (0 until LshBands).map { bi =>
+      val lo = bi * planesPerBand
+      b.select(col("vec_id"), lit(bi).as("band"),
+        expr(s"(bucket >> $lo) & ${(1 << planesPerBand) - 1}").as("bkey"))
+    }.reduce(_ union _)
+  }
+
+  /** LSH-bucketed near-duplicate vector pairs, exactly verified: pairs that
+    * collide in any band AND have exact cosine >= threshold (permille).
+    */
+  def lshNearDupPairs(emb: DataFrame, thresholdPermille: Int): DataFrame = {
+    val b = lshBandedBuckets(emb)
+    val cands = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb")).distinct()
+    cands
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("cos_permille", expr(cosinePermilleExpr("ea", "eb")))
+      .where(col("cos_permille") >= thresholdPermille)
+      .select("va", "vb", "cos_permille").orderBy("va", "vb")
+  }
+}

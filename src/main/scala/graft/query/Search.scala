@@ -28,6 +28,23 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
 
   val stats: IndexBuild.DocStats = IndexBuild.readDocStats(dir)
 
+  /** Tombstoned doc ids (reference validity filter P5). Small pre-compact;
+    * broadcast into kernels and anti-joined in relational paths.
+    */
+  lazy val tombstonedIds: Set[Long] = {
+    val t = graft.maint.Maintenance.tombstones(spark, dir)
+    if (t.isEmpty) Set.empty[Long]
+    else spark.read.parquet(IndexBuild.docsDir(dir))
+      .join(t, Seq("url")).select($"doc_id").as[Long].collect().toSet
+  }
+
+  private def liveFilter(df: DataFrame): DataFrame =
+    if (tombstonedIds.isEmpty) df
+    else {
+      val ids = tombstonedIds
+      df.where(!$"doc_id".isInCollection(ids))
+    }
+
   private def termBucket(t: String): Int = {
     // must match pmod(xxhash64(term), nBuckets) used at build
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -98,6 +115,7 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
     val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
     val nTerms = effective.size
     val conj = conjunctive
+    val dead = tombstonedIds
     val perRange = segments(effective, gramsTable = false)
       .groupByKey(_.range_id)
       .flatMapGroups { (_, rows) =>
@@ -109,7 +127,7 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
           }
         }
         if (conj && cursors.length != nTerms) Iterator.empty
-        else Wand.topK(cursors, k, conj, k1, b, avgdl).iterator
+        else Wand.topK(cursors, k, conj, k1, b, avgdl, dead.contains).iterator
       }
     perRange.toDF("doc_id", "score")
       .orderBy($"score".desc, $"doc_id".asc)
@@ -165,7 +183,7 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
     if (grams.exists(g => !df.contains(g)))
       return spark.range(0).select($"id".as("doc_id"))
     val keys = grams.map(g => s"g$g").toSeq
-    exploded(keys, gramsTable = true)
+    liveFilter(exploded(keys, gramsTable = true))
       .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
       .where($"hits" === grams.length)
       .select($"doc_id")
@@ -182,7 +200,8 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
     if (grams.exists(g => !dfs.contains(g)))
       return spark.range(0).select($"id".as("doc_id"))
     val ordered = grams.sortBy(g => dfs(g)) // ascending df: seed smallest
-    var acc = exploded(Seq(s"g${ordered.head}"), gramsTable = true).select("doc_id")
+    var acc = liveFilter(exploded(Seq(s"g${ordered.head}"), gramsTable = true))
+      .select("doc_id")
     ordered.tail.foreach { g =>
       acc = acc.join(exploded(Seq(s"g$g"), gramsTable = true).select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -201,7 +220,7 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
       return spark.range(0).select($"id".as("doc_id"), lit(0L).as("hits"),
         lit(0.0).as("ratio"))
     val q = grams.length.toDouble
-    exploded(grams.map(g => s"g$g").toSeq, gramsTable = true)
+    liveFilter(exploded(grams.map(g => s"g$g").toSeq, gramsTable = true))
       .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
       .withColumn("ratio", $"hits" / lit(q))
       .where($"ratio" >= minRatio)

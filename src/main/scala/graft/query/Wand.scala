@@ -89,7 +89,7 @@ object Wand {
   /** Fixed-size top-k holder: min-heap keyed worst-first by
     * (score asc, doc_id desc) so ties keep the smaller doc_id.
     */
-  final class TopK(k: Int) {
+  class TopK(k: Int) {
     private val scores = new Array[Double](k)
     private val docs = new Array[Long](k)
     var size = 0
@@ -132,11 +132,17 @@ object Wand {
   }
 
   /** Top-k over the given term cursors. `cursors` is indexed by termIdx
-    * (ascending lexicographic term order).
+    * (ascending lexicographic term order). `deleted` is the tombstone
+    * live-docs check (reference validity filter P5, fts-lmdb.go:1151-1162)
+    * applied at scoring time so the heap always holds live docs.
     */
   def topK(cursors: Array[TermCursor], k: Int, conjunctive: Boolean,
-           k1: Double, b: Double, avgdl: Double): Array[ScoredDoc] = {
-    val heap = new TopK(k)
+           k1: Double, b: Double, avgdl: Double,
+           deleted: Long => Boolean = _ => false): Array[ScoredDoc] = {
+    val heap = new TopK(k) {
+      override def offer(score: Double, doc: Long): Unit =
+        if (!deleted(doc)) super.offer(score, doc)
+    }
     if (conjunctive) topKConjunctive(cursors, heap, k1, b, avgdl)
     else topKDisjunctive(cursors, heap, k1, b, avgdl)
     heap.result()

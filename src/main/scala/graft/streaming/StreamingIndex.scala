@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+import graft.build.IndexBuild
+import graft.maint.Maintenance
+
+/** Structured-Streaming incremental index maintenance — the Spark-native
+  * analog of the reference's externally-driven micro-batch loop (Emacs idle
+  * timer re-running `update` every 5 idle minutes + reindex-on-save hooks,
+  * reference: elisp/org-fts.el:70, 89-111), with `warc_ts` as the event
+  * time / freshness watermark (cmdUpdate's mtime check,
+  * fts-lmdb.go:1000-1006).
+  *
+  * Shape: `readStream` over a docs changelog -> `foreachBatch` running the
+  * incremental [[Maintenance.update]] against the index snapshot. Each
+  * micro-batch is checkpointed by Spark (exactly-once foreachBatch with the
+  * idempotent, manifest-guarded build stages).
+  */
+object StreamingIndex {
+
+  /** Attach incremental maintenance to a streaming docs source. The stream
+    * must carry the input-table schema (url, warc_ts, text, lang [, html]).
+    */
+  def maintain(spark: SparkSession, docsStream: DataFrame, indexDir: String,
+               cfg: IndexBuild.Config, checkpoint: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    docsStream
+      .withWatermark("warc_ts", "1 hour") // tolerate late re-crawls
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(spark, batch, indexDir, cfg)
+      }
+      .start()
+  }
+
+  /** Merge one micro-batch of new/updated pages into the index: union the
+    * batch with the still-current rows of the indexed corpus, then run the
+    * incremental update (only the batch's docparts get re-chunked).
+    */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                  cfg: IndexBuild.Config): Unit = synchronized {
+    import spark.implicits._
+    val b = batch.select($"url", $"warc_ts", $"text", $"lang").cache()
+    if (b.isEmpty) { b.unpersist(); return }
+    val current =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "docstats.json"))) {
+        // reconstruct the current corpus view from the chunk store
+        spark.read.parquet(IndexBuild.chunksDir(indexDir))
+          .groupBy($"url").agg(
+            max($"warc_ts").as("warc_ts"),
+            first($"lang").as("lang"),
+            concat_ws("", sort_array(collect_list(struct($"chunk_seq", $"chunk_text")))
+              .getField("chunk_text")).as("text"))
+          .join(b.select($"url".as("b_url")), $"url" === $"b_url", "left_anti")
+          .select($"url", $"warc_ts", $"text", $"lang")
+      } else b.limit(0)
+    val snapshot = current.union(b)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "manifest.jsonl")))
+      Maintenance.update(spark, indexDir, snapshot, cfg)
+    else
+      IndexBuild.build(spark, snapshot, indexDir, cfg)
+    b.unpersist()
+  }
+}

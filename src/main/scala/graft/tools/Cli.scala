@@ -61,6 +61,19 @@ object Cli {
       show(new Search(session(), dir).bm25TopK(terms, k.toInt, mode == "and"))
     case "files" :: dir :: terms if terms.nonEmpty =>
       show(new Search(session(), dir).searchFiles(terms))
+    case "delete" :: dir :: urls if urls.nonEmpty =>
+      graft.maint.Maintenance.delete(session(), dir, urls)
+      println(s"tombstoned ${urls.size} url(s)")
+    case "compact" :: dir :: Nil =>
+      graft.maint.Maintenance.compact(session(), dir, IndexBuild.Config(
+        nBuckets = 8, nRanges = 8, docParts = 8))
+      println("compacted")
+    case "update" :: dir :: "--synth" :: n :: Nil =>
+      val spark = session()
+      val (nn, nc, nd) = graft.maint.Maintenance.update(spark, dir,
+        WebCorpus.generate(spark, n.toLong), IndexBuild.Config(
+          nBuckets = 8, nRanges = 8, docParts = 8))
+      println(s"update: new=$nn changed=$nc deleted=$nd")
     case "info" :: dir :: Nil =>
       show(new Search(session(), dir).info())
     case "grams-info" :: dir :: Nil =>

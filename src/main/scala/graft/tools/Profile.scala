@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.WebCorpus
+
+/** Throwaway stage profiler for local scaling analysis. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "160000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus * 3)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val corpus = WebCorpus.generate(spark, n, 42L, cpus)
+    t("generate+count")(corpus.count())
+    val src = corpus
+      .withColumn("docpart", pmod(xxhash64(col("url")), lit(32)).cast("int"))
+      .select($"url", $"warc_ts", $"lang", $"text", $"docpart")
+    t("gen+project+count")(src.count())
+    val rep = src.repartitionByRange(cpus * 3, col("docpart"), col("url"))
+    t("gen+shuffle+count")(rep.count())
+    val chunked = rep.as[(String, java.sql.Timestamp, String, String, Int)]
+      .flatMap { case (url, ts, lang, text, part) =>
+        graft.build.IndexBuild.chunkDoc(url, ts, lang, part, text, lineChunks = true)
+      }
+    t("gen+shuffle+tokenize+count")(chunked.count())
+    t("write")(chunked.write.mode("overwrite").partitionBy("docpart")
+      .parquet(s"/tmp/prof_chunks_$cpus"))
+    spark.stop()
+  }
+}

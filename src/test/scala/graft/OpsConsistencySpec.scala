@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.{Gram, Tokenizer}
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** The relational ops (pure Catalyst expressions) must agree with the core
+  * engine's Scala tokenizer/gram extraction — one semantics, two engines.
+  */
+class OpsConsistencySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "The fast KEY order-sort! table2 scan",
+    "a", "", "  \t ", "añ b€c", "x1y2z3 9 99 . , ;;",
+    "word word word different Words")
+
+  private lazy val df = texts.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("TextOps words == Tokenizer.terms") {
+    val sqlWords = TextOps.withWords(df).select($"doc_id", $"arr")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(sqlWords(i.toLong) == Tokenizer.terms(t).toList, s"text='$t'")
+    }
+  }
+
+  test("TextOps docGrams == Gram.grams (whole-word, as strings)") {
+    val sqlGrams = TextOps.docGrams(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expected = Gram.grams(partial = false, Seq(t)).map(Gram.gramString)
+      assert(sqlGrams.getOrElse(i.toLong, Set.empty) == expected, s"text='$t'")
+    }
+  }
+
+  test("doc length stats agree") {
+    val dls = TextOps.docStats(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(dls(i.toLong) == Tokenizer.docLength(t), s"text='$t'")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.build.IndexBuild
+import graft.ops.Multimodal
+import graft.query.Search
+import graft.sources.WebCorpus
+import graft.streaming.StreamingIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingMultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val cfg = IndexBuild.Config(nBuckets = 4, nRanges = 2, docParts = 4,
+    shufflePartitions = 4)
+
+  test("streaming foreachBatch maintains the index incrementally (MemoryStream)") {
+    val dir = tmpDir("stream-idx")
+    val ckpt = tmpDir("stream-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WebCorpus.WebDoc]
+    val q = StreamingIndex.maintain(spark, mem.toDF(), dir, cfg, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+
+    try {
+      mem.addData(WebCorpus.makeDoc(1, 7L).copy(text = "alpha beta gamma\n"))
+      q.processAllAvailable()
+      val s1 = new Search(spark, dir)
+      assert(s1.search(Seq("alpha")).count() == 1)
+
+      // second batch: a new doc AND an update of the first url
+      val d1 = WebCorpus.makeDoc(1, 7L)
+      mem.addData(
+        d1.copy(text = "alpha delta epsilon\n",
+          warc_ts = new java.sql.Timestamp(d1.warc_ts.getTime + 60000)),
+        WebCorpus.makeDoc(2, 7L).copy(text = "zeta eta theta\n"))
+      q.processAllAvailable()
+      val s2 = new Search(spark, dir)
+      assert(s2.search(Seq("delta")).count() == 1)
+      assert(s2.search(Seq("beta")).count() == 0) // old version replaced
+      assert(s2.search(Seq("zeta")).count() == 1)
+      assert(IndexBuild.readDocStats(dir).nDocs == 2)
+    } finally q.stop()
+  }
+
+  test("multimodal: decode stub roundtrip, batched feature extraction, frame plan") {
+    val media = Multimodal.generate(spark, 60, partitions = 4)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 60)
+    feats.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3) // normalized histogram
+      assert(f.bytes_len > 16)
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).map(_.mean_byte).toSeq ==
+      again.sortBy(_.media_id).map(_.mean_byte).toSeq)
+
+    val plan = Multimodal.sampleFramePlan(media.toDF(), 2)
+    val perVideo = plan.groupBy("media_id").count().collect()
+    assert(perVideo.nonEmpty)
+    // video rows have n_frames in [8,11] -> sampled every 2 -> 4..6 frames
+    perVideo.foreach(r => assert(r.getLong(1) >= 4 && r.getLong(1) <= 6))
+
+    val balanced = Multimodal.balanceBySize(media.toDF(), largeBytes = 2000, partitions = 8)
+    assert(balanced.count() == 60)
+  }
+}
