@@ -44,12 +44,24 @@ object Bench {
     s
   }
 
+  /** Materialize the synthetic corpus once (parquet): the build metric
+    * measures the BUILD reading columnar input, not the generator.
+    */
+  private def corpusDir(spark: SparkSession, nDocs: Long): String = {
+    val dir = s"$tmpRoot/graft_bench_corpus_$nDocs"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      WebCorpus.generate(spark, nDocs, seed = 42L, partitions = 32)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** One full build + query pass; returns (phase -> seconds, nChunks). */
   private def pass(spark: SparkSession, cpus: Int, nDocs: Long):
       (scala.collection.immutable.ListMap[String, Double], Long) = {
     val idxDir = s"$tmpRoot/graft_bench_idx_$cpus"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-    val corpus = WebCorpus.generate(spark, nDocs, seed = 42L, partitions = cpus)
+    val corpus = spark.read.parquet(corpusDir(spark, nDocs))
     var results = scala.collection.immutable.ListMap.empty[String, Double]
     // identical index layout at every CPU level: same logical job
     val (bstats, buildSec) = time {

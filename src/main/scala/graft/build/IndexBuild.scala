@@ -228,8 +228,14 @@ object IndexBuild {
       }
     val filtered = postings.where($"bucket".isin(missing: _*))
     val (k1, b, avgdl, blockSize) = (cfg.k1, cfg.b, stats.avgdl, cfg.blockSize)
+    // hash repartition on (key, range_id) — NOT repartitionByRange, whose
+    // sampling pass would evaluate the full explode twice. Skew is already
+    // bounded: a hot term's postings split across nRanges range_id shards
+    // (the salt), so no partition receives more than ~rangeSize rows per
+    // term. The in-partition sort leads with bucket so the partitionBy
+    // writer streams one bucket dir at a time.
     val segRows = filtered
-      .repartitionByRange(cfg.shufflePartitions, $"bucket", $"key", $"range_id", $"doc_id")
+      .repartition(cfg.shufflePartitions, $"key", $"range_id")
       .sortWithinPartitions($"bucket", $"key", $"range_id", $"doc_id")
       .mapPartitions { it =>
         new Iterator[SegRow] {

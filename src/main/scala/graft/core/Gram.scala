@@ -94,11 +94,50 @@ object Gram {
 
   def grams(text: String): Set[Int] = grams(partial = false, Seq(text))
 
-  /** Sorted gram codes — deterministic order for stable downstream plans. */
+  /** Sorted gram codes — deterministic order for stable downstream plans.
+    * Bitset-backed (the gram space is only 37^3 = 50653): no boxing, no
+    * hash table, output already sorted — this is the index build's hottest
+    * allocation path.
+    */
   def gramsSorted(partial: Boolean, args: Seq[String]): Array[Int] = {
-    val a = grams(partial, args).toArray
-    java.util.Arrays.sort(a)
-    a
+    val bits = new Array[Long]((Base3 >> 6) + 1)
+    var count = 0
+    def add(str: String): Unit = {
+      var grm = 0
+      var i = 0
+      val n = str.length
+      while (i < n) {
+        val cp = str.codePointAt(i)
+        i += Character.charCount(cp)
+        val v = gramForChar(cp)
+        if (!(v == 0 && grm % Base == 0)) {
+          if (grm % Base == 0) grm = v
+          else grm = ((grm * Base) + v) % Base3
+          val interiorOnlySkip = partial &&
+            (grm / Base2 == 0 || (grm / Base) % Base == 0 || grm % Base == 0)
+          if (!interiorOnlySkip && grm >= Base) {
+            val w = grm >> 6
+            val m = 1L << (grm & 63)
+            if ((bits(w) & m) == 0) { bits(w) |= m; count += 1 }
+          }
+        }
+      }
+    }
+    if (partial) args.foreach(add) else add(" " + args.mkString(" ") + " ")
+    val out = new Array[Int](count)
+    var w = 0
+    var o = 0
+    while (w < bits.length) {
+      var b = bits(w)
+      while (b != 0) {
+        val t = java.lang.Long.numberOfTrailingZeros(b)
+        out(o) = (w << 6) + t
+        o += 1
+        b &= b - 1
+      }
+      w += 1
+    }
+    out
   }
 
   /** The reference's word-boundary char class (fts-lmdb.go:1428-1430). */

@@ -32,11 +32,23 @@ object Tokenizer {
     out.toArray
   }
 
-  /** (term, tf) pairs, terms unique, deterministic order (sorted). */
+  /** (term, tf) pairs, terms unique, deterministic order (sorted).
+    * Sort + run-length instead of a HashMap: less allocation on the index
+    * build's hot path.
+    */
   def termFreqs(text: String): Array[(String, Int)] = {
-    val m = mutable.HashMap.empty[String, Int]
-    terms(text).foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
-    m.toArray.sortBy(_._1)
+    val ts = terms(text)
+    if (ts.isEmpty) return Array.empty
+    java.util.Arrays.sort(ts.asInstanceOf[Array[AnyRef]])
+    val out = mutable.ArrayBuffer.empty[(String, Int)]
+    var i = 0
+    while (i < ts.length) {
+      var j = i + 1
+      while (j < ts.length && ts(j) == ts(i)) j += 1
+      out += ((ts(i), j - i))
+      i = j
+    }
+    out.toArray
   }
 
   /** Document length = total term count (BM25 `dl`). */

@@ -172,15 +172,43 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
   // ------------------------------------------------- candidate retrieval
 
   /** Conjunctive gram-candidate retrieval (reference intersectGrams,
-    * fts-lmdb.go:1497-1528) as one hash aggregation: a doc is a candidate
-    * iff it holds ALL query grams. Missing gram short-circuits to empty
+    * fts-lmdb.go:1497-1528): per doc range, a leapfrog block-skipping
+    * intersection kernel over the query grams' segments — only matching
+    * doc ids leave each partition (no posting-list explosion, no shuffle
+    * beyond the pruned segment scan). Missing gram short-circuits to empty
     * (reference exits 1).
     */
   def candidates(args: Seq[String], partial: Boolean = false): DataFrame = {
     val grams = Gram.gramsSorted(partial, args)
-    if (grams.isEmpty) return spark.range(0).select($"id".as("doc_id"))
     val df = gramDictLookup(grams.toSeq)
-    if (grams.exists(g => !df.contains(g)))
+    if (grams.isEmpty || grams.exists(g => !df.contains(g)))
+      return spark.range(0).select($"id".as("doc_id"))
+    val keys = grams.map(g => s"g$g").toSeq
+    val nKeys = keys.size
+    val dead = tombstonedIds
+    segments(keys, gramsTable = true)
+      .groupByKey(_.range_id)
+      .flatMapGroups { (_, rows) =>
+        val byKey = rows.toArray.groupBy(_.key)
+        if (byKey.size != nKeys) Iterator.empty
+        else {
+          val cursors = byKey.toArray.sortBy(_._1).zipWithIndex.map {
+            case ((_, segs), i) =>
+              new Wand.TermCursor(i, 0.0, segs.sortBy(_.first_doc).map(_.postings), 1.2, 0.75)
+          }
+          Wand.intersect(cursors, d => !dead.contains(d))
+        }
+      }
+      .toDF("doc_id")
+  }
+
+  /** [[candidates]] as one hash aggregation (count == |Q|) — kept for plan
+    * comparison and as the shape that generalizes to scoring.
+    */
+  def candidatesAgg(args: Seq[String], partial: Boolean = false): DataFrame = {
+    val grams = Gram.gramsSorted(partial, args)
+    val df = gramDictLookup(grams.toSeq)
+    if (grams.isEmpty || grams.exists(g => !df.contains(g)))
       return spark.range(0).select($"id".as("doc_id"))
     val keys = grams.map(g => s"g$g").toSeq
     liveFilter(exploded(keys, gramsTable = true))
@@ -211,7 +239,8 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
 
   /** Fuzzy gram-overlap scoring (reference fuzzyMatch fts-lmdb.go:1530-1550;
     * forces partial grams per 1056-1061; any missing gram -> empty).
-    * Returns (doc_id, hits, ratio) for ratio >= minRatio.
+    * Returns (doc_id, hits, ratio) for ratio >= minRatio. Implemented as a
+    * per-range k-way merge kernel; per-doc hit counts never shuffle.
     */
   def fuzzy(args: Seq[String], minRatio: Double): DataFrame = {
     val grams = Gram.gramsSorted(partial = true, args)
@@ -220,10 +249,20 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
       return spark.range(0).select($"id".as("doc_id"), lit(0L).as("hits"),
         lit(0.0).as("ratio"))
     val q = grams.length.toDouble
-    liveFilter(exploded(grams.map(g => s"g$g").toSeq, gramsTable = true))
-      .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
-      .withColumn("ratio", $"hits" / lit(q))
-      .where($"ratio" >= minRatio)
+    val dead = tombstonedIds
+    val minR = minRatio
+    segments(grams.map(g => s"g$g").toSeq, gramsTable = true)
+      .groupByKey(_.range_id)
+      .flatMapGroups { (_, rows) =>
+        val cursors = rows.toArray.groupBy(_.key).toArray.sortBy(_._1)
+          .zipWithIndex.map { case ((_, segs), i) =>
+            new Wand.TermCursor(i, 0.0, segs.sortBy(_.first_doc).map(_.postings), 1.2, 0.75)
+          }
+        Wand.overlapCounts(cursors, d => !dead.contains(d))
+          .filter { case (_, hits) => hits / q >= minR }
+          .map { case (d, hits) => (d, hits.toLong, hits / q) }
+      }
+      .toDF("doc_id", "hits", "ratio")
   }
 
   // ------------------------------------------------------- full search
@@ -239,10 +278,17 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
     * (fts-lmdb.go:1328-1350).
     */
   def search(args: Seq[String], partial: Boolean = false,
-             limitPerGroup: Int = Int.MaxValue): DataFrame = {
+             limitPerGroup: Int = Int.MaxValue,
+             filterRegex: Option[String] = None): DataFrame = {
     val cands = candidates(args, partial)
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
-    val hydrated = docs.join(cands, Seq("doc_id")) // candidate side is small
+    val regexFiltered = filterRegex match {
+      // reference -filter (fts-lmdb.go:1094-1099, applied at 1272); Java
+      // dialect here vs the reference's RE2 — documented divergence
+      case Some(re) => docs.where($"chunk_text".rlike(re))
+      case None => docs
+    }
+    val hydrated = regexFiltered.join(cands, Seq("doc_id")) // candidate side is small
       .withColumn("offset", verifyUdf($"chunk_text", lit(args.toArray), lit(partial)))
       .where($"offset" >= 0)
     val w = Window.partitionBy($"url").orderBy($"byte_start".asc, $"doc_id".asc)

@@ -162,6 +162,69 @@ object Wand {
     s
   }
 
+  /** Conjunctive intersection WITHOUT scoring: leapfrog with block skipping,
+    * emitting every aligned doc id (reference intersectGrams semantics,
+    * fts-lmdb.go:1497-1528, generalized to sorted segments). Used by the
+    * candidate-retrieval path: only the matching doc ids leave the
+    * partition, instead of exploding whole posting lists into a shuffle.
+    */
+  def intersect(cursors: Array[TermCursor], live: Long => Boolean = _ => true): Iterator[Long] = {
+    if (cursors.isEmpty || cursors.exists(!_.start())) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    while (!done) {
+      var target = -1L
+      cursors.foreach(c => if (c.curDoc > target) target = c.curDoc)
+      var aligned = true
+      var i = 0
+      while (i < cursors.length && !done) {
+        if (!cursors(i).skipTo(target)) done = true
+        else if (cursors(i).curDoc != target) aligned = false
+        i += 1
+      }
+      if (!done && aligned) {
+        if (live(target)) out += target
+        if (!cursors(0).next()) done = true
+      }
+    }
+    out.iterator
+  }
+
+  /** Per-doc hit counts across cursors (fuzzy overlap scorer A1 shape):
+    * k-way merge over sorted segments, emitting (docId, nCursorsContaining).
+    */
+  def overlapCounts(cursors: Array[TermCursor], live: Long => Boolean = _ => true): Iterator[(Long, Int)] = {
+    val active = cursors.filter(_.start())
+    if (active.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var nActive = active.length
+    while (nActive > 0) {
+      var minDoc = Long.MaxValue
+      var i = 0
+      while (i < active.length) {
+        val c = active(i)
+        if (!c.exhausted && c.curDoc < minDoc) minDoc = c.curDoc
+        i += 1
+      }
+      var hits = 0
+      i = 0
+      nActive = 0
+      while (i < active.length) {
+        val c = active(i)
+        if (!c.exhausted) {
+          if (c.curDoc == minDoc) {
+            hits += 1
+            c.next()
+          }
+          if (!c.exhausted) nActive += 1
+        }
+        i += 1
+      }
+      if (live(minDoc)) out += ((minDoc, hits))
+    }
+    out.iterator
+  }
+
   private def topKConjunctive(cursors: Array[TermCursor], heap: TopK,
                               k1: Double, b: Double, avgdl: Double): Unit = {
     if (cursors.isEmpty || cursors.exists(!_.start())) return

@@ -55,6 +55,10 @@ object Cli {
       show(new Search(session(), dir).search(terms))
     case "search-partial" :: dir :: terms if terms.nonEmpty =>
       show(new Search(session(), dir).search(terms, partial = true))
+    case "search-filter" :: dir :: re :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).search(terms, filterRegex = Some(re)))
+    case "candidates" :: dir :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir).candidates(terms).orderBy("doc_id"))
     case "fuzzy" :: dir :: ratio :: terms if terms.nonEmpty =>
       show(new Search(session(), dir).fuzzy(terms, ratio.toDouble))
     case "bm25" :: dir :: k :: mode :: terms if terms.nonEmpty =>

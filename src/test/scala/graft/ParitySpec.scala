@@ -36,10 +36,11 @@ class ParitySpec extends SparkSuite {
     assert(res.forall(_.getAs[String]("chunk_text").contains("one")))
   }
 
-  test("semi-join candidate plan matches aggregation plan") {
+  test("kernel, aggregation and semi-join candidate plans agree") {
     val a = search.candidates(Seq("one", "two")).collect().map(_.getLong(0)).sorted
     val b = search.candidatesSemiJoin(Seq("one", "two")).collect().map(_.getLong(0)).sorted
-    assert(a.toSeq == b.toSeq)
+    val c = search.candidatesAgg(Seq("one", "two")).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq && b.toSeq == c.toSeq)
   }
 
   test("search single term 'one' hits lines 1, 5, 6") {
@@ -77,6 +78,12 @@ class ParitySpec extends SparkSuite {
 
   test("per-group limit truncates within url (reference -limit)") {
     assert(search.search(Seq("one"), limitPerGroup = 2).count() == 2)
+  }
+
+  test("regex result filter drops non-matching chunks (reference -filter)") {
+    val all = search.search(Seq("one")).count()
+    val filtered = search.search(Seq("one"), filterRegex = Some("three"))
+    assert(all == 3 && filtered.count() == 2) // lines 5 and 6 contain 'three'
   }
 
   test("info stats reflect the corpus (totalInfo analog)") {

@@ -81,6 +81,21 @@ class GramSpec extends AnyFunSuite {
     }
   }
 
+  test("property: gramsSorted (bitset path) == grams (set path), sorted") {
+    val r = new Random(13)
+    (1 to 300).foreach { _ =>
+      val s = randText(r)
+      for (partial <- Seq(false, true)) {
+        val viaBits = Gram.gramsSorted(partial, Seq(s)).toSeq
+        val viaSet = Gram.grams(partial, Seq(s)).toSeq.sorted
+        assert(viaBits == viaSet, s"partial=$partial s='$s'")
+      }
+    }
+    // multi-arg whole-word join semantics too
+    assert(Gram.gramsSorted(partial = false, Seq("one", "two")).toSeq ==
+      Gram.grams(partial = false, Seq("one", "two")).toSeq.sorted)
+  }
+
   test("non-ASCII code points act as separators") {
     assert(Gram.grams(partial = false, Seq("añb")) ==
       Gram.grams(partial = false, Seq("a b")))
