@@ -25,21 +25,43 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** One layout for every scaling level — see session() comment. */
+  final val FixedShufflePartitions = 64
+
   private val tmpRoot =
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
 
   private def session(cpus: Int): SparkSession = {
     // tmpfs for shuffle + index output: a cluster writes these to many
     // node-local disks / object storage in parallel; a single local disk
-    // would measure that disk, not the engine
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // would measure that disk, not the engine.
+    // SPARK_GRAFT_LOCAL_CLUSTER=1 switches to local-cluster mode: `cpus`
+    // becomes (cpus/2) executor JVMs x 2 cores each, with their own heaps,
+    // GC and netty shuffle — the closest in-sandbox emulation of the north
+    // rule's N-vs-4N *executors* criterion (thread-scaling inside one JVM
+    // shares heap/GC/allocator in ways a real cluster does not).
+    val localCluster = sys.env.get("SPARK_GRAFT_LOCAL_CLUSTER").exists(_ == "1")
+    val b = SparkSession.builder()
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus * 3)
+      // FIXED across scaling levels: on a real cluster the shuffle partition
+      // count is a property of the job, not of the executor count. Tying it
+      // to cpus conflates partition-size effects (spill, GC) with scaling.
+      .config("spark.sql.shuffle.partitions", FixedShufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$tmpRoot/graft-spark-local")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = (if (localCluster) {
+      val nExec = math.max(1, cpus / 2)
+      val memMb = math.min(12288L, 96L * 1024 / math.max(4, nExec))
+      b.master(s"local-cluster[$nExec,2,$memMb]")
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.driver.memory", "8g")
+        // same-host executor JVMs: reuse the launcher's classpath (graft
+        // classes + spark jars) and JDK17 module opens
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    } else b.master(s"local[$cpus]")).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -67,7 +89,7 @@ object Bench {
     val (bstats, buildSec) = time {
       IndexBuild.build(spark, corpus, idxDir, IndexBuild.Config(
         nBuckets = 16, nRanges = 32, docParts = 32,
-        shufflePartitions = cpus * 3))
+        shufflePartitions = FixedShufflePartitions))
     }
     results += "index_build" -> buildSec
     val search = new Search(spark, idxDir)

@@ -143,29 +143,51 @@ object IndexBuild {
     else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
   }
 
-  /** Stage 2 — stable dense doc ids: global rank in (url, chunk_seq) order
-    * via sorted per-url prefix sums. Deterministic and independent of
+  /** Stage 2 — stable dense doc ids: global rank in (url, chunk_seq) order,
+    * computed as a distributed prefix sum over per-url chunk counts
+    * (doc_id = base(url) + chunk_seq; chunk_seq is dense 0..n-1 per url, so
+    * this equals the global rank). Deterministic and independent of
     * partition count (reference analog: monotone OID allocation,
     * fts-lmdb.go:855-867, made reproducible per SURVEY §2.6 M6).
+    *
+    * Only the tiny (url, count) pairs shuffle; the heavy chunk rows (text,
+    * term/gram arrays) are id-stamped map-side and written straight back
+    * out — at the 10^12-doc target the docs write is embarrassingly
+    * parallel. In the sandbox the url->base side broadcasts; at scale the
+    * same join runs as an Iceberg storage-partitioned join on docpart (both
+    * sides are bucketed by hash(url)) with no big-side shuffle either.
     */
   private def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
     import spark.implicits._
     if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
     val t0 = System.nanoTime()
     val chunks = spark.read.parquet(chunksDir(dir))
-    // ONE shuffle: range-sort by (url, chunk_seq), then doc_id = global rank
-    // via zipWithIndex (partition-prefix counts). The rank is invariant to
-    // where range boundaries fall, so ids are stable across runs and
-    // cluster sizes. Output files are already doc_id-ascending, so parquet
-    // min/max stats give doc_id range pruning with no extra shuffle.
-    val sorted = chunks
-      .repartitionByRange(cfg.shufflePartitions, $"url", $"chunk_seq")
-      .sortWithinPartitions("url", "chunk_seq")
-    val schema = sorted.schema.add("doc_id", org.apache.spark.sql.types.LongType)
-    val withIds = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-      }, schema)
+    // prefix sum: range-sort per-url counts, per-partition totals to the
+    // driver (one long per partition), cumulative offsets back out
+    val perUrl = chunks.groupBy($"url").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(cfg.shufflePartitions, $"url")
+      .sortWithinPartitions($"url")
+      .as[(String, Long)]
+      .rdd.cache()
+    val totals = perUrl
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(i) = docs before part i
+    val urlBase = spark.createDataset(perUrl.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (u, c) => val b = acc; acc += c; (u, b) }
+    }).toDF("url", "base")
+    perUrl.unpersist(blocking = false)
+    // map-only id stamp + write: no shuffle of chunk rows. In-partition sort
+    // by (url, chunk_seq) makes doc_id ascending within each output file, so
+    // parquet row-group min/max stats prune doc_id point lookups.
+    val withIds = chunks
+      .sortWithinPartitions($"url", $"chunk_seq")
+      .join(broadcast(urlBase), Seq("url"))
+      .withColumn("doc_id", $"base" + $"chunk_seq")
+      .drop("base")
     // doc stats ride along with the write (Observation): no extra pass
     val obs = org.apache.spark.sql.Observation()
     withIds.observe(obs, count(lit(1)).as("n"),
@@ -188,6 +210,15 @@ object IndexBuild {
 
   final case class Posting(key: String, bucket: Int, range_id: Int,
                            doc_id: Long, tf: Int, dl: Long)
+  /** Gram-path posting: int key, no tf/dl payload. The gram index only ever
+    * answers membership/intersection (candidates, fuzzy overlap) — never
+    * BM25 — so the shuffled row is 20 bytes of primitives instead of an
+    * allocated "g12345" string plus dead tf/dl columns. At web scale the
+    * gram explode is the single largest shuffle in the build (~50-130 grams
+    * per chunk); this halves its bytes and removes per-row allocation.
+    */
+  final case class GramPosting(bucket: Int, gkey: Int, range_id: Int,
+                               doc_id: Long)
   final case class SegRow(bucket: Int, key: String, range_id: Int,
                           first_doc: Long, last_doc: Long, n_docs: Long,
                           sum_tf: Long, max_tf: Int, n_bytes: Int,
@@ -208,25 +239,8 @@ object IndexBuild {
     if (missing.isEmpty) return cfg.nBuckets
     val t0 = System.nanoTime()
     val docsT = spark.read.parquet(docsDir(dir))
-      .select($"doc_id", $"dl", $"n_grams", if (grams) $"grams" else $"terms")
+      .select($"doc_id", $"dl", if (grams) $"grams" else $"terms")
     val rangeSize = stats.rangeSize
-    val postings: Dataset[Posting] =
-      if (grams) {
-        docsT.select($"doc_id", $"n_grams", explode($"grams").as("g"))
-          .select(concat(lit("g"), $"g".cast("string")).as("key"),
-            pmod($"g", lit(cfg.nBuckets)).cast("int").as("bucket"),
-            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
-            $"doc_id", lit(1).as("tf"), $"n_grams".cast("long").as("dl"))
-          .as[Posting]
-      } else {
-        docsT.select($"doc_id", $"dl", explode($"terms").as("e"))
-          .select($"e.t".as("key"),
-            pmod(xxhash64($"e.t"), lit(cfg.nBuckets)).cast("int").as("bucket"),
-            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
-            $"doc_id", $"e.f".as("tf"), $"dl".cast("long").as("dl"))
-          .as[Posting]
-      }
-    val filtered = postings.where($"bucket".isin(missing: _*))
     val (k1, b, avgdl, blockSize) = (cfg.k1, cfg.b, stats.avgdl, cfg.blockSize)
     // hash repartition on (key, range_id) — NOT repartitionByRange, whose
     // sampling pass would evaluate the full explode twice. Skew is already
@@ -234,41 +248,90 @@ object IndexBuild {
     // (the salt), so no partition receives more than ~rangeSize rows per
     // term. The in-partition sort leads with bucket so the partitionBy
     // writer streams one bucket dir at a time.
-    val segRows = filtered
-      .repartition(cfg.shufflePartitions, $"key", $"range_id")
-      .sortWithinPartitions($"bucket", $"key", $"range_id", $"doc_id")
-      .mapPartitions { it =>
-        new Iterator[SegRow] {
-          private var pending: SegRow = null
-          private var cur: Posting = null
-          private def buildNext(): Unit = {
-            if (cur == null && it.hasNext) cur = it.next()
-            if (cur == null) { pending = null; return }
-            val (key, bucket, range) = (cur.key, cur.bucket, cur.range_id)
-            val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize)
-            val first = cur.doc_id
-            var last = cur.doc_id
-            var n = 0L
-            var sumTf = 0L
-            var maxTf = 0
-            var go = true
-            while (go) {
-              sb.add(cur.doc_id, cur.tf, cur.dl)
-              last = cur.doc_id; n += 1; sumTf += cur.tf
-              if (cur.tf > maxTf) maxTf = cur.tf
-              cur = if (it.hasNext) it.next() else null
-              go = cur != null && cur.key == key && cur.range_id == range
+    val segRows: Dataset[SegRow] =
+      if (grams) {
+        docsT.select($"doc_id", explode($"grams").as("g"))
+          .select(pmod($"g", lit(cfg.nBuckets)).cast("int").as("bucket"),
+            $"g".as("gkey"),
+            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+            $"doc_id")
+          .where($"bucket".isin(missing: _*))
+          .as[GramPosting]
+          .repartition(cfg.shufflePartitions, $"gkey", $"range_id")
+          .sortWithinPartitions($"bucket", $"gkey", $"range_id", $"doc_id")
+          .mapPartitions { it =>
+            new Iterator[SegRow] {
+              private var pending: SegRow = null
+              private var cur: GramPosting = null
+              private def buildNext(): Unit = {
+                if (cur == null && it.hasNext) cur = it.next()
+                if (cur == null) { pending = null; return }
+                val (gkey, bucket, range) = (cur.gkey, cur.bucket, cur.range_id)
+                val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize)
+                val first = cur.doc_id
+                var last = cur.doc_id
+                var n = 0L
+                var go = true
+                while (go) {
+                  sb.add(cur.doc_id, 1, 1L) // membership only: tf/dl unused
+                  last = cur.doc_id; n += 1
+                  cur = if (it.hasNext) it.next() else null
+                  go = cur != null && cur.gkey == gkey && cur.range_id == range
+                }
+                val bytes = sb.result()
+                pending = SegRow(bucket, s"g$gkey", range, first, last, n, n,
+                  1, bytes.length, bytes)
+              }
+              buildNext()
+              override def hasNext: Boolean = pending != null
+              override def next(): SegRow = {
+                val r = pending; buildNext(); r
+              }
             }
-            val bytes = sb.result()
-            pending = SegRow(bucket, key, range, first, last, n, sumTf, maxTf,
-              bytes.length, bytes)
           }
-          buildNext()
-          override def hasNext: Boolean = pending != null
-          override def next(): SegRow = {
-            val r = pending; buildNext(); r
+      } else {
+        docsT.select($"doc_id", $"dl", explode($"terms").as("e"))
+          .select($"e.t".as("key"),
+            pmod(xxhash64($"e.t"), lit(cfg.nBuckets)).cast("int").as("bucket"),
+            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+            $"doc_id", $"e.f".as("tf"), $"dl".cast("long").as("dl"))
+          .where($"bucket".isin(missing: _*))
+          .as[Posting]
+          .repartition(cfg.shufflePartitions, $"key", $"range_id")
+          .sortWithinPartitions($"bucket", $"key", $"range_id", $"doc_id")
+          .mapPartitions { it =>
+            new Iterator[SegRow] {
+              private var pending: SegRow = null
+              private var cur: Posting = null
+              private def buildNext(): Unit = {
+                if (cur == null && it.hasNext) cur = it.next()
+                if (cur == null) { pending = null; return }
+                val (key, bucket, range) = (cur.key, cur.bucket, cur.range_id)
+                val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize)
+                val first = cur.doc_id
+                var last = cur.doc_id
+                var n = 0L
+                var sumTf = 0L
+                var maxTf = 0
+                var go = true
+                while (go) {
+                  sb.add(cur.doc_id, cur.tf, cur.dl)
+                  last = cur.doc_id; n += 1; sumTf += cur.tf
+                  if (cur.tf > maxTf) maxTf = cur.tf
+                  cur = if (it.hasNext) it.next() else null
+                  go = cur != null && cur.key == key && cur.range_id == range
+                }
+                val bytes = sb.result()
+                pending = SegRow(bucket, key, range, first, last, n, sumTf, maxTf,
+                  bytes.length, bytes)
+              }
+              buildNext()
+              override def hasNext: Boolean = pending != null
+              override def next(): SegRow = {
+                val r = pending; buildNext(); r
+              }
+            }
           }
-        }
       }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segRows.write.mode("overwrite").partitionBy("bucket").parquet(outDir)
@@ -295,14 +358,16 @@ object IndexBuild {
     val seg = spark.read.parquet(termPostingsDir(dir))
       .groupBy($"key".as("term"))
       .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"), max($"max_tf").as("max_tf"))
+    val obs = org.apache.spark.sql.Observation()
     seg.repartitionByRange(8, $"term").sortWithinPartitions("term")
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(dictDir(dir))
     val gseg = spark.read.parquet(gramPostingsDir(dir))
       .groupBy(substring($"key", 2, 10).cast("int").as("gram"))
       .agg(sum($"n_docs").as("df"))
     gseg.repartitionByRange(8, $"gram").sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(gramDictDir(dir))
-    val n = spark.read.parquet(dictDir(dir)).count()
+    val n = obs.get("n").asInstanceOf[Long]
     Manifest.append(dir, Manifest.Entry("dictionary", "all", n, 0L, "",
       (System.nanoTime() - t0) / 1000000))
   }
