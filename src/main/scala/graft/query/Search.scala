@@ -271,6 +271,15 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
     Tokenizer.verifyAll(chunk, args, partial)
   }
 
+  /** Candidate sets up to this size hydrate via a pushed-down id filter
+    * (the docs files are doc_id-ascending, so parquet row-group stats prune
+    * the scan) instead of a shuffle join against the full chunk store — the
+    * distributed analog of the reference's per-OID chunk lookups
+    * (getChunk fts-lmdb.go:1640-1642). Above it, fall back to the join:
+    * a hot-term candidate list must never be collected to the driver.
+    */
+  final val MaxInlineCandidates = 100000
+
   /** Full reference search semantics: gram candidates -> hydrate chunk rows
     * -> exact whole-word verify (AND of args) -> per-url ordering by
     * position with optional per-url limit (reference -limit,
@@ -280,15 +289,28 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
   def search(args: Seq[String], partial: Boolean = false,
              limitPerGroup: Int = Int.MaxValue,
              filterRegex: Option[String] = None): DataFrame = {
-    val cands = candidates(args, partial)
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    // |candidates| <= min gram df, so the broadcast dictionary decides the
+    // hydration plan BEFORE any kernel runs: small bound -> collect the ids
+    // and push them into the docs scan; huge bound -> shuffle join, ids
+    // never touch the driver.
+    val grams = Gram.gramsSorted(partial, args)
+    val dfs = gramDictLookup(grams.toSeq)
+    val minDf =
+      if (grams.isEmpty || grams.exists(g => !dfs.contains(g))) 0L
+      else grams.map(g => dfs(g)).min
+    val hydrated0 =
+      if (minDf <= MaxInlineCandidates) {
+        val candIds = candidates(args, partial).select($"doc_id").as[Long].collect()
+        docs.where($"doc_id".isInCollection(candIds))
+      } else docs.join(candidates(args, partial), Seq("doc_id"))
     val regexFiltered = filterRegex match {
       // reference -filter (fts-lmdb.go:1094-1099, applied at 1272); Java
       // dialect here vs the reference's RE2 — documented divergence
-      case Some(re) => docs.where($"chunk_text".rlike(re))
-      case None => docs
+      case Some(re) => hydrated0.where($"chunk_text".rlike(re))
+      case None => hydrated0
     }
-    val hydrated = regexFiltered.join(cands, Seq("doc_id")) // candidate side is small
+    val hydrated = regexFiltered
       .withColumn("offset", verifyUdf($"chunk_text", lit(args.toArray), lit(partial)))
       .where($"offset" >= 0)
     val w = Window.partitionBy($"url").orderBy($"byte_start".asc, $"doc_id".asc)
