@@ -23,7 +23,11 @@ import graft.core.{Gram, Postings, Tokenizer}
   *    WAND kernel runs document-partitioned; only per-range top-k rows and
   *    the final global TakeOrdered cross the wire.
   */
-class Search(spark: SparkSession, dir: String) extends Serializable {
+class Search(spark: SparkSession, dir: String,
+             /** see [[MaxInlineCandidates]]; tests inject 0 to force the
+               * join-hydration path */
+             maxInlineCandidates: Int = Search.DefaultMaxInlineCandidates)
+    extends Serializable {
   import spark.implicits._
 
   val stats: IndexBuild.DocStats = IndexBuild.readDocStats(dir)
@@ -271,15 +275,6 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
     Tokenizer.verifyAll(chunk, args, partial)
   }
 
-  /** Candidate sets up to this size hydrate via a pushed-down id filter
-    * (the docs files are doc_id-ascending, so parquet row-group stats prune
-    * the scan) instead of a shuffle join against the full chunk store — the
-    * distributed analog of the reference's per-OID chunk lookups
-    * (getChunk fts-lmdb.go:1640-1642). Above it, fall back to the join:
-    * a hot-term candidate list must never be collected to the driver.
-    */
-  final val MaxInlineCandidates = 100000
-
   /** Full reference search semantics: gram candidates -> hydrate chunk rows
     * -> exact whole-word verify (AND of args) -> per-url ordering by
     * position with optional per-url limit (reference -limit,
@@ -300,7 +295,7 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
       if (grams.isEmpty || grams.exists(g => !dfs.contains(g))) 0L
       else grams.map(g => dfs(g)).min
     val hydrated0 =
-      if (minDf <= MaxInlineCandidates) {
+      if (minDf <= maxInlineCandidates) {
         val candIds = candidates(args, partial).select($"doc_id").as[Long].collect()
         docs.where($"doc_id".isInCollection(candIds))
       } else docs.join(candidates(args, partial), Seq("doc_id"))
@@ -367,6 +362,15 @@ class Search(spark: SparkSession, dir: String) extends Serializable {
 }
 
 object Search {
+  /** Candidate sets up to this size hydrate via a pushed-down id filter
+    * (the docs files are doc_id-ascending, so parquet row-group stats prune
+    * the scan) instead of a shuffle join against the full chunk store — the
+    * distributed analog of the reference's per-OID chunk lookups
+    * (getChunk fts-lmdb.go:1640-1642). Above it, fall back to the join:
+    * a hot-term candidate list must never be collected to the driver.
+    */
+  final val DefaultMaxInlineCandidates = 100000
+
   /** Posting-segment row projection used by query scans (top-level so the
     * Dataset encoder's generated code can construct it).
     */

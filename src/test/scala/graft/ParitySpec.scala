@@ -80,6 +80,15 @@ class ParitySpec extends SparkSuite {
     assert(search.search(Seq("one"), limitPerGroup = 2).count() == 2)
   }
 
+  test("inline-id and shuffle-join hydration paths return identical results") {
+    val joinPath = new Search(spark, dir, maxInlineCandidates = 0)
+    for (q <- Seq(Seq("one"), Seq("one", "two"))) {
+      val a = search.search(q).collect().map(_.toSeq).toSeq
+      val b = joinPath.search(q).collect().map(_.toSeq).toSeq
+      assert(a == b, s"query $q")
+    }
+  }
+
   test("regex result filter drops non-matching chunks (reference -filter)") {
     val all = search.search(Seq("one")).count()
     val filtered = search.search(Seq("one"), filterRegex = Some("three"))
