@@ -179,7 +179,6 @@ object IndexBuild {
       var acc = offsets(i)
       it.map { case (u, c) => val b = acc; acc += c; (u, b) }
     }).toDF("url", "base")
-    perUrl.unpersist(blocking = false)
     // map-only id stamp + write: no shuffle of chunk rows. In-partition sort
     // by (url, chunk_seq) makes doc_id ascending within each output file, so
     // parquet row-group min/max stats prune doc_id point lookups.
@@ -194,6 +193,10 @@ object IndexBuild {
         sum($"dl".cast("long")).as("sum_dl"),
         max($"warc_ts").cast("string").as("wm"))
       .write.mode("overwrite").parquet(docsDir(dir))
+    // only now: the docs write above is the job that consumes urlBase, which
+    // re-evaluates the cached prefix-sum RDD — unpersisting earlier would
+    // silently recompute the groupBy + range shuffle during the write
+    perUrl.unpersist(blocking = false)
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
     val sumDl = Option(m("sum_dl")).map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -140,6 +140,16 @@ object Gram {
     out
   }
 
+  /** Parse one gram literal in the reference's three CLI forms (gramFor
+    * fts-lmdb.go:780-793): 4 hex digits (`-gx`, two big-endian bytes),
+    * decimal (`-gd`), or the default 3-char unicode string (".TH").
+    */
+  def parseGram(s: String, hex: Boolean = false, dec: Boolean = false): Int =
+    if (hex) (Integer.parseInt(s.substring(0, 2), 16) << 8) |
+      Integer.parseInt(s.substring(2, 4), 16)
+    else if (dec) s.toInt
+    else gramForString(s)
+
   /** The reference's word-boundary char class (fts-lmdb.go:1428-1430). */
   @inline def isGramChar(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')

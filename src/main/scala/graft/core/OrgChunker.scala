@@ -18,7 +18,12 @@ import scala.collection.mutable.ArrayBuffer
   *    "#+end_src" line, so blocks swallow to EOF; we use the correct
   *    "#+end_src" terminator and document the deviation;
   *  - the empty-digits alternative of the list-item regex makes ". foo" a
-  *    list item — kept.
+  *    list item — kept;
+  *  - the reference's list-item alternative "[ \t]+\*" (fulltext.go:88) is
+  *    dead code: classify applies listItemPat to the LEFT-TRIMMED line
+  *    (fulltext.go:173,196), which can never start with whitespace, so
+  *    indented "*" bullets classify as PARAGRAPH in the reference too — we
+  *    match that behavior (covered by OrgChunkerSpec).
   */
 object OrgChunker {
 
@@ -40,7 +45,8 @@ object OrgChunker {
     "BLOCK", "DYNBLOCK", "KEYWORD", "DRAWER", "FOOTNOTE", "LIST_ITEM",
     "TABLE_LINE", "HR", "LATEXT_ENV", "BLANK")
 
-  private val footnotePat = "^\\[fn:[^\\]]".r
+  // (?i) matches the reference (fulltext.go:87): '[FN:' is a footnote too
+  private val footnotePat = "(?i)^\\[fn:[^\\]]".r
   private val drawerPat = "(?i)^:[a-z0-9_]+[ \\t]*:".r
   private val blockPat = "(?i)^#\\+begin(_[a-z0-9_]+)".r
   private val dynblockPat = "(?i)^#\\+begin:".r

@@ -78,14 +78,19 @@ object Tokenizer {
     if (arg.isEmpty) return -1
     val lc = asciiLower(chunk)
     val la = asciiLower(arg)
-    var from = 0
-    while (from <= lc.length - la.length) {
-      val i = lc.indexOf(la, from)
+    // `winStart` mirrors the reference's suffix slicing (hasArg
+    // fts-lmdb.go:1299-1311): after a failed boundary match the scan resumes
+    // on the suffix, so a match at the suffix START counts as word-start even
+    // when the preceding char in the full string is a gram char — e.g.
+    // "twotwo" whole-word-matches "two" at offset 3.
+    var winStart = 0
+    while (winStart <= lc.length - la.length) {
+      val i = lc.indexOf(la, winStart)
       if (i < 0) return -1
-      val startOk = i == 0 || !Gram.isGramChar(chunk.charAt(i - 1))
+      val startOk = i == winStart || !Gram.isGramChar(chunk.charAt(i - 1))
       val endOk = i + la.length == chunk.length || !Gram.isGramChar(chunk.charAt(i + la.length))
       if (partial || (startOk && endOk)) return i
-      from = i + la.length
+      winStart = i + la.length
     }
     -1
   }

@@ -95,13 +95,16 @@ object Multimodal {
       .select(col("media_id"),
         explode(expr(s"sequence(0, n_frames - 1, $everyK)")).as("frame_idx"))
 
-  /** Size-bucketed repartitioning for skewed blob sizes: large payloads
-    * spread round-robin, small ones stay hash-clustered.
+  /** Size-bucketed repartitioning for skewed blob sizes: large payloads get
+    * a salted key (decorrelated from the id hash so co-ids spread), small
+    * ones stay hash-clustered. Deterministic across runs/task retries —
+    * `monotonically_increasing_id` would not be (SURVEY §2.6 M6).
     */
   def balanceBySize(media: DataFrame, largeBytes: Int, partitions: Int): DataFrame = {
     val tagged = media.withColumn("_big", length(col("payload")) >= largeBytes)
     tagged.repartition(partitions,
-      when(col("_big"), pmod(monotonically_increasing_id(), lit(partitions)))
+      when(col("_big"),
+        pmod(xxhash64(col("media_id"), lit("blob-salt"), length(col("payload"))), lit(partitions)))
         .otherwise(pmod(xxhash64(col("media_id")), lit(partitions))))
       .drop("_big")
   }

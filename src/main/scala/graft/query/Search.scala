@@ -184,7 +184,23 @@ class Search(spark: SparkSession, dir: String,
     */
   def candidates(args: Seq[String], partial: Boolean = false): DataFrame = {
     val grams = Gram.gramsSorted(partial, args)
-    val df = gramDictLookup(grams.toSeq)
+    candidatesFromGrams(grams, gramDictLookup(grams.toSeq))
+  }
+
+  /** Explicit-gram candidate retrieval (reference `search -candidates
+    * -grams/-gx/-gd`, gramFor fts-lmdb.go:780-793): same kernel as
+    * [[candidates]] but the caller supplies gram codes directly — parse
+    * literal forms with [[Gram.parseGram]].
+    */
+  def candidatesByGrams(grams: Seq[Int]): DataFrame = {
+    val gs = grams.distinct.sorted.toArray
+    candidatesFromGrams(gs, gramDictLookup(gs.toSeq))
+  }
+
+  /** Kernel shared by [[candidates]]/[[search]] so the dictionary slice is
+    * looked up exactly once per query.
+    */
+  private def candidatesFromGrams(grams: Array[Int], df: Map[Int, Long]): DataFrame = {
     if (grams.isEmpty || grams.exists(g => !df.contains(g)))
       return spark.range(0).select($"id".as("doc_id"))
     val keys = grams.map(g => s"g$g").toSeq
@@ -294,11 +310,12 @@ class Search(spark: SparkSession, dir: String,
     val minDf =
       if (grams.isEmpty || grams.exists(g => !dfs.contains(g))) 0L
       else grams.map(g => dfs(g)).min
+    val cands = candidatesFromGrams(grams, dfs) // dictionary looked up once
     val hydrated0 =
       if (minDf <= maxInlineCandidates) {
-        val candIds = candidates(args, partial).select($"doc_id").as[Long].collect()
+        val candIds = cands.select($"doc_id").as[Long].collect()
         docs.where($"doc_id".isInCollection(candIds))
-      } else docs.join(candidates(args, partial), Seq("doc_id"))
+      } else docs.join(cands, Seq("doc_id"))
     val regexFiltered = filterRegex match {
       // reference -filter (fts-lmdb.go:1094-1099, applied at 1272); Java
       // dialect here vs the reference's RE2 — documented divergence

@@ -170,24 +170,34 @@ object Wand {
     */
   def intersect(cursors: Array[TermCursor], live: Long => Boolean = _ => true): Iterator[Long] = {
     if (cursors.isEmpty || cursors.exists(!_.start())) return Iterator.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var done = false
-    while (!done) {
-      var target = -1L
-      cursors.foreach(c => if (c.curDoc > target) target = c.curDoc)
-      var aligned = true
-      var i = 0
-      while (i < cursors.length && !done) {
-        if (!cursors(i).skipTo(target)) done = true
-        else if (cursors(i).curDoc != target) aligned = false
-        i += 1
+    // streaming: O(1) memory per task regardless of result size (a hot query
+    // must not hold ~rangeSize ids per partition)
+    new Iterator[Long] {
+      private var done = false
+      private var has = false
+      private var pending = 0L
+      private def advance(): Unit = {
+        has = false
+        while (!done && !has) {
+          var target = -1L
+          cursors.foreach(c => if (c.curDoc > target) target = c.curDoc)
+          var aligned = true
+          var i = 0
+          while (i < cursors.length && !done) {
+            if (!cursors(i).skipTo(target)) done = true
+            else if (cursors(i).curDoc != target) aligned = false
+            i += 1
+          }
+          if (!done && aligned) {
+            if (live(target)) { pending = target; has = true }
+            if (!cursors(0).next()) done = true
+          }
+        }
       }
-      if (!done && aligned) {
-        if (live(target)) out += target
-        if (!cursors(0).next()) done = true
-      }
+      advance()
+      override def hasNext: Boolean = has
+      override def next(): Long = { val d = pending; advance(); d }
     }
-    out.iterator
   }
 
   /** Per-doc hit counts across cursors (fuzzy overlap scorer A1 shape):
@@ -196,33 +206,43 @@ object Wand {
   def overlapCounts(cursors: Array[TermCursor], live: Long => Boolean = _ => true): Iterator[(Long, Int)] = {
     val active = cursors.filter(_.start())
     if (active.isEmpty) return Iterator.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-    var nActive = active.length
-    while (nActive > 0) {
-      var minDoc = Long.MaxValue
-      var i = 0
-      while (i < active.length) {
-        val c = active(i)
-        if (!c.exhausted && c.curDoc < minDoc) minDoc = c.curDoc
-        i += 1
-      }
-      var hits = 0
-      i = 0
-      nActive = 0
-      while (i < active.length) {
-        val c = active(i)
-        if (!c.exhausted) {
-          if (c.curDoc == minDoc) {
-            hits += 1
-            c.next()
+    // streaming k-way merge: no per-task result buffer (see intersect)
+    new Iterator[(Long, Int)] {
+      private var nActive = active.length
+      private var has = false
+      private var pendDoc = 0L
+      private var pendHits = 0
+      private def advance(): Unit = {
+        has = false
+        while (nActive > 0 && !has) {
+          var minDoc = Long.MaxValue
+          var i = 0
+          while (i < active.length) {
+            val c = active(i)
+            if (!c.exhausted && c.curDoc < minDoc) minDoc = c.curDoc
+            i += 1
           }
-          if (!c.exhausted) nActive += 1
+          var hits = 0
+          i = 0
+          nActive = 0
+          while (i < active.length) {
+            val c = active(i)
+            if (!c.exhausted) {
+              if (c.curDoc == minDoc) {
+                hits += 1
+                c.next()
+              }
+              if (!c.exhausted) nActive += 1
+            }
+            i += 1
+          }
+          if (live(minDoc)) { pendDoc = minDoc; pendHits = hits; has = true }
         }
-        i += 1
       }
-      if (live(minDoc)) out += ((minDoc, hits))
+      advance()
+      override def hasNext: Boolean = has
+      override def next(): (Long, Int) = { val p = (pendDoc, pendHits); advance(); p }
     }
-    out.iterator
   }
 
   private def topKConjunctive(cursors: Array[TermCursor], heap: TopK,

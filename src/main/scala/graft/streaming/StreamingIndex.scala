@@ -44,7 +44,15 @@ object StreamingIndex {
   def upsertBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                   cfg: IndexBuild.Config): Unit = synchronized {
     import spark.implicits._
-    val b = batch.select($"url", $"warc_ts", $"text", $"lang").cache()
+    // a micro-batch may carry several updates to one url; keep only the
+    // newest per url (latest warc_ts) or the union below would produce
+    // duplicate (url, chunk_seq) rows and colliding doc ids
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"url").orderBy($"warc_ts".desc)
+    val b = batch.select($"url", $"warc_ts", $"text", $"lang")
+      .withColumn("rn", row_number().over(latest))
+      .where($"rn" === 1).drop("rn")
+      .cache()
     if (b.isEmpty) { b.unpersist(); return }
     val current =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "docstats.json"))) {

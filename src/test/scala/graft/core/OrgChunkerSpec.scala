@@ -13,6 +13,7 @@ class OrgChunkerSpec extends AnyFunSuite {
     assert(classify("** deep headline")._1 == HEADLINE)
     assert(classify("  ")._1 == BLANK)
     assert(classify("[fn:1] a footnote")._1 == FOOTNOTE)
+    assert(classify("[FN:1] case-insensitive footnote")._1 == FOOTNOTE) // (?i) fulltext.go:87
     assert(classify("------")._1 == HR)
     assert(classify("  :drawer: x")._1 == DRAWER)
     assert(classify("#+begin_src scala") == (BLOCK, "#+end_src"))

@@ -28,6 +28,17 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.firstWordBoundaryMatch("atwo two", "two", partial = false) == 5)
   }
 
+  test("suffix-resume quirk: scan re-anchors after a failed match (hasArg fts-lmdb.go:1299-1311)") {
+    // reference slices the string after each failed boundary match, so the
+    // position right after the previous match end counts as a word start
+    assert(Tokenizer.firstWordBoundaryMatch("twotwo", "two", partial = false) == 3)
+    assert(Tokenizer.firstWordBoundaryMatch("xtwotwo", "two", partial = false) == 4)
+    // but an occurrence that overlaps INTO gram chars on the right still fails
+    assert(Tokenizer.firstWordBoundaryMatch("twotwox", "two", partial = false) == -1)
+    // and a whole-word occurrence later still wins normally
+    assert(Tokenizer.firstWordBoundaryMatch("twotwox two", "two", partial = false) == 8)
+  }
+
   test("verifyAll ANDs args and returns first found offset (fts-lmdb.go:1282-1291)") {
     assert(Tokenizer.verifyAll("one two three", Seq("two", "one"), partial = false) == 4)
     assert(Tokenizer.verifyAll("one two three", Seq("two", "four"), partial = false) == -1)
