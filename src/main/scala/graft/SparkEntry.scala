@@ -43,13 +43,47 @@ object SparkEntry {
           col("text"), col("lang"))
         IndexBuild.build(spark, docs, dir, IndexBuild.Config(
           nBuckets = 8, nRanges = 8, docParts = 8, shufflePartitions = 16,
-          lineChunks = false))
+          chunkMode = IndexBuild.ChunkMode.Doc))
       }
       dir
     })
 
   private def engine(spark: SparkSession, sfDir: String): Search =
     new Search(spark, indexFor(spark, sfDir))
+
+  /** Deterministic org-mode corpus derived from documents.parquet tokens: a
+    * fixed 6-line template (headline, 2-line paragraph, blank, list item,
+    * keyword) whose element boundaries/offsets are analytically computable,
+    * so the DuckDB oracle can verify the engine's org chunking end-to-end.
+    * Words are lowercase ASCII-alnum (no org metacharacters), indexed
+    * modulo the doc's token count.
+    */
+  private def orgDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsTable(spark, dir)
+      .withColumn("arr", graft.ops.TextOps.wordsCol)
+      .where(size(col("arr")) >= 1)
+    def w(i: Int) = element_at(col("arr"), pmod(lit(i), size(col("arr"))) + 1)
+    d.select(
+      format_string("doc://%012d", col("doc_id")).as("url"),
+      lit("2020-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+      concat(lit("* "), w(0), lit(" "), w(1), lit("\n"),
+        w(2), lit(" "), w(3), lit("\n"), w(4), lit("\n\n- "),
+        w(5), lit(" "), w(6), lit("\n#+title: "), w(7)).as("text"),
+      col("lang"))
+  }
+
+  /** Build (once) an org-chunked index over the synthesized org corpus. */
+  def orgIndexFor(spark: SparkSession, sfDir: String): String =
+    indexCache.getOrElseUpdate(sfDir + "#org", {
+      val dir = s"/tmp/graft_index_v${IndexFormatVersion}_org_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "docstats.json"))) {
+        IndexBuild.build(spark, orgDocs(spark, sfDir), dir, IndexBuild.Config(
+          nBuckets = 8, nRanges = 8, docParts = 8, shufflePartitions = 16,
+          chunkMode = IndexBuild.ChunkMode.Org))
+      }
+      dir
+    })
 
   /** engine doc_id (dense by padded url) == documents.doc_id; still parse
     * from the url for robustness.
@@ -60,7 +94,8 @@ object SparkEntry {
   private val QTerms = Seq("batch", "order", "window") // lex order
   private val FuzzyArgs = Seq("window", "scan")
   private val FuzzyGrams = Gram.gramsSorted(partial = true, FuzzyArgs).map(Gram.gramString)
-  private val CandGrams = Gram.gramsSorted(partial = false, Seq("order", "batch")).map(Gram.gramString)
+  private val CandGramCodes = Gram.gramsSorted(partial = false, Seq("order", "batch")).toSeq
+  private val CandGrams = CandGramCodes.map(Gram.gramString)
 
   /** Flagship: conjunctive BM25 top-10 through the WAND engine on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -138,7 +173,31 @@ object SparkEntry {
     "q28_token_counts" -> ((s, d) => TextOps.tokenCounts(docsTable(s, d))
       .select(col("doc_id"), col("ws_tokens").cast("long"),
         col("bpe_ish_tokens").cast("long"))),
-    "q29_fingerprint" -> ((s, d) => TextOps.fingerprint(docsTable(s, d)))
+    "q29_fingerprint" -> ((s, d) => TextOps.fingerprint(docsTable(s, d))),
+    // ---- org-mode chunking end-to-end (S3): engine build with
+    // chunkMode=org over the synthesized org corpus; oracle recomputes the
+    // template's element boundaries analytically
+    "q30_org_chunks" -> ((s, d) =>
+      s.read.parquet(IndexBuild.docsDir(orgIndexFor(s, d)))
+        .select(urlToDocId.as("doc_id"), col("chunk_seq").cast("long"),
+          col("line").cast("long"), col("rune_off"), col("rune_len"),
+          col("byte_start"), col("byte_len"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_seq")),
+    // ---- explicit-gram candidates (reference search -candidates -grams)
+    "q31_candidates_by_grams" -> ((s, d) => {
+      val e = engine(s, d)
+      val docs = s.read.parquet(IndexBuild.docsDir(indexFor(s, d)))
+      e.candidatesByGrams(CandGramCodes)
+        .join(docs.select("doc_id", "url"), "doc_id")
+        .select(urlToDocId.as("doc_id")).orderBy("doc_id")
+    }),
+    // ---- per-group info view (reference info -groups)
+    "q32_info_groups" -> ((s, d) =>
+      engine(s, d).infoGroups()
+        .select(urlToDocId.as("doc_id"), col("n_chunks").cast("long"),
+          col("sum_dl"), col("sum_grams"),
+          col("deleted").cast("long").as("deleted"))
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -323,6 +382,51 @@ object SparkEntry {
           list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(arr, w -> CAST(unicode(substr(w, 1, 1)) AS BIGINT) * 1000 + length(w))),
             (acc, v) -> (acc * 131 + v) % 1000000007) END AS fp
-          FROM ($W) ORDER BY doc_id"""
+          FROM ($W) ORDER BY doc_id""",
+    // org template: "* w1 w2\nw3 w4\nw5\n\n- w6 w7\n#+title: w8" chunks into
+    // HEADLINE(line1) / PARAGRAPH(lines2-3) / LIST_ITEM(line5) / KEYWORD(line6)
+    // with analytic offsets (ASCII words: rune == byte)
+    "q30_org_chunks" ->
+      s"""WITH w AS ($W),
+          base AS (SELECT doc_id, arr, len(arr) AS n FROM w WHERE len(arr) >= 1),
+          ws AS (SELECT doc_id,
+            arr[(0 % n) + 1] AS w1, arr[(1 % n) + 1] AS w2,
+            arr[(2 % n) + 1] AS w3, arr[(3 % n) + 1] AS w4,
+            arr[(4 % n) + 1] AS w5, arr[(5 % n) + 1] AS w6,
+            arr[(6 % n) + 1] AS w7, arr[(7 % n) + 1] AS w8 FROM base),
+          ls AS (SELECT *, length(w1) AS l1, length(w2) AS l2, length(w3) AS l3,
+                 length(w4) AS l4, length(w5) AS l5, length(w6) AS l6,
+                 length(w7) AS l7, length(w8) AS l8 FROM ws)
+          SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+                 CAST(line AS BIGINT) AS line, CAST(rune_off AS BIGINT) AS rune_off,
+                 CAST(rune_len AS BIGINT) AS rune_len, CAST(byte_start AS BIGINT) AS byte_start,
+                 CAST(byte_len AS BIGINT) AS byte_len, chunk_text FROM (
+            SELECT doc_id, 0 AS chunk_seq, 1 AS line, 0 AS rune_off,
+                   3 + l1 + l2 AS rune_len, 0 AS byte_start, 3 + l1 + l2 AS byte_len,
+                   '* ' || w1 || ' ' || w2 AS chunk_text FROM ls
+            UNION ALL
+            SELECT doc_id, 1, 2, 4 + l1 + l2, l3 + l4 + l5 + 2,
+                   4 + l1 + l2, l3 + l4 + l5 + 2,
+                   w3 || ' ' || w4 || chr(10) || w5 FROM ls
+            UNION ALL
+            SELECT doc_id, 2, 5, 8 + l1 + l2 + l3 + l4 + l5, 3 + l6 + l7,
+                   8 + l1 + l2 + l3 + l4 + l5, 3 + l6 + l7,
+                   '- ' || w6 || ' ' || w7 FROM ls
+            UNION ALL
+            SELECT doc_id, 3, 6, 12 + l1 + l2 + l3 + l4 + l5 + l6 + l7, 9 + l8,
+                   12 + l1 + l2 + l3 + l4 + l5 + l6 + l7, 9 + l8,
+                   '#+title: ' || w8 FROM ls)
+          ORDER BY doc_id, chunk_seq""",
+    "q31_candidates_by_grams" ->
+      s"""SELECT doc_id FROM ($GRAMS) WHERE gram IN (${inList(CandGrams.toSeq)})
+          GROUP BY doc_id HAVING count(*) = ${CandGrams.length} ORDER BY doc_id""",
+    "q32_info_groups" ->
+      s"""WITH w AS ($W),
+          g AS (SELECT doc_id, count(*) AS n_grams FROM ($GRAMS) GROUP BY doc_id)
+          SELECT w.doc_id, CAST(1 AS BIGINT) AS n_chunks,
+                 CAST(len(w.arr) AS BIGINT) AS sum_dl,
+                 CAST(coalesce(g.n_grams, 0) AS BIGINT) AS sum_grams,
+                 CAST(0 AS BIGINT) AS deleted
+          FROM w LEFT JOIN g ON w.doc_id = g.doc_id ORDER BY w.doc_id"""
   )
 }

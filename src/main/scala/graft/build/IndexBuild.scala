@@ -34,6 +34,17 @@ import java.sql.Timestamp
   */
 object IndexBuild {
 
+  /** Chunking mode (reference input modes: lines = indexLines
+    * fts-lmdb.go:578-603, org = indexOrg 546-576 via the -org flag; doc =
+    * whole text as one chunk, for term-level corpora).
+    */
+  object ChunkMode {
+    final val Lines = "lines"
+    final val Doc = "doc"
+    final val Org = "org"
+    val All: Set[String] = Set(Lines, Doc, Org)
+  }
+
   final case class Config(
     nBuckets: Int = 8,          // term-hash write partitions (cluster: 100s)
     nRanges: Int = 8,           // doc-id range shards = the salt (cluster: 1000s)
@@ -42,7 +53,9 @@ object IndexBuild {
     blockSize: Int = 128,
     k1: Double = 1.2,
     b: Double = 0.75,
-    lineChunks: Boolean = true) // false: whole doc = one chunk
+    chunkMode: String = ChunkMode.Lines) {
+    require(ChunkMode.All(chunkMode), s"unknown chunkMode: $chunkMode")
+  }
 
   final case class TermFreq(t: String, f: Int)
 
@@ -69,11 +82,14 @@ object IndexBuild {
 
   /** Chunk + tokenize one document — the only place raw text is processed. */
   def chunkDoc(url: String, warcTs: Timestamp, lang: String, docpart: Int,
-               text: String, lineChunks: Boolean): Seq[ChunkRow] = {
-    val chunks =
-      if (lineChunks) Chunker.linesLenient(text)
-      else IndexedSeq(graft.core.Chunk(1, 0L, text.codePointCount(0, text.length).toLong,
+               text: String, chunkMode: String): Seq[ChunkRow] = {
+    val chunks = chunkMode match {
+      case ChunkMode.Lines => Chunker.linesLenient(text)
+      case ChunkMode.Org => graft.core.OrgChunker.chunks(text)
+      case _ => IndexedSeq(graft.core.Chunk(1, 0L,
+        text.codePointCount(0, text.length).toLong,
         0L, text.getBytes("UTF-8").length.toLong, text))
+    }
     chunks.zipWithIndex.map { case (c, seq) =>
       val tfs = Tokenizer.termFreqs(c.text).map { case (t, f) => TermFreq(t, f) }
       val dl = { var s = 0; tfs.foreach(s += _.f); s }
@@ -114,7 +130,7 @@ object IndexBuild {
     // build). Each scan task writes to the docpart dirs it encounters —
     // more, smaller files, which Iceberg/bin-packing compacts in production.
     val chunked = src.flatMap { case (url, ts, lang, text, part) =>
-      chunkDoc(url, ts, lang, part, text, cfg.lineChunks)
+      chunkDoc(url, ts, lang, part, text, cfg.chunkMode)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     chunked.write.mode("overwrite").partitionBy("docpart").parquet(chunksDir(dir))

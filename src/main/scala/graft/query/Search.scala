@@ -367,6 +367,34 @@ class Search(spark: SparkSession, dir: String,
       .crossJoin(gdict.agg(count(lit(1)).as("n_grams")))
   }
 
+  /** Per-group info view (reference `info -groups` / `info DB GROUP`,
+    * fts-lmdb.go:273-317, 383-446): one row per url with chunk/term/gram
+    * totals, latest warc_ts, and validity (tombstone flag). Aggregates the
+    * docs store — one shuffle on url, no posting scan.
+    */
+  def infoGroups(): DataFrame = {
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    val t = graft.maint.Maintenance.tombstones(spark, dir)
+    docs.groupBy($"url").agg(count(lit(1)).as("n_chunks"),
+      sum($"dl".cast("long")).as("sum_dl"),
+      sum($"n_grams".cast("long")).as("sum_grams"),
+      max($"warc_ts").as("last_changed"))
+      .join(t.select($"url", lit(true).as("del")), Seq("url"), "left")
+      .withColumn("deleted", coalesce($"del", lit(false))).drop("del")
+      .orderBy($"url")
+  }
+
+  /** Per-group chunk listing (reference `info DB GROUP -chunks`,
+    * fts-lmdb.go:383-446): chunk rows for one url in position order.
+    */
+  def infoChunks(url: String): DataFrame = {
+    val u = url
+    liveFilter(spark.read.parquet(IndexBuild.docsDir(dir)).where($"url" === u))
+      .select($"url", $"doc_id", $"chunk_seq", $"line", $"rune_off",
+        $"rune_len", $"byte_start", $"byte_len", $"dl", $"n_grams", $"chunk_text")
+      .orderBy($"byte_start")
+  }
+
   /** Gram selectivity histogram (reference `info -grams`, displayGrams
     * fts-lmdb.go:319-381) — the skew diagnostic that motivates salting.
     */

@@ -29,7 +29,8 @@ object Profile {
     t("gen+shuffle+count")(rep.count())
     val chunked = rep.as[(String, java.sql.Timestamp, String, String, Int)]
       .flatMap { case (url, ts, lang, text, part) =>
-        graft.build.IndexBuild.chunkDoc(url, ts, lang, part, text, lineChunks = true)
+        graft.build.IndexBuild.chunkDoc(url, ts, lang, part, text,
+          graft.build.IndexBuild.ChunkMode.Lines)
       }
     t("gen+shuffle+tokenize+count")(chunked.count())
     t("write")(chunked.write.mode("overwrite").partitionBy("docpart")

@@ -102,6 +102,66 @@ class ParitySpec extends SparkSuite {
     assert(r.getAs[Long]("total_terms") == 12L) // 12 words in the corpus
   }
 
+  test("org-mode index end-to-end: chunkMode=org chunks by element and is searchable (S3)") {
+    import spark.implicits._
+    val orgText =
+      "* Heading one\n" +
+      "A paragraph about spark\nand indexes.\n\n" +
+      "#+begin_src scala\nval engine = wand\n#+end_src\n" +
+      "- list item alpha\n" +
+      "| tbl | row |\n"
+    val docs = Seq(("org://a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      orgText, "en")).toDF("url", "warc_ts", "text", "lang")
+    val d = tmpDir("org-idx")
+    IndexBuild.build(spark, docs, d, IndexBuild.Config(nBuckets = 4,
+      nRanges = 2, docParts = 2, shufflePartitions = 4,
+      chunkMode = IndexBuild.ChunkMode.Org))
+    val rows = spark.read.parquet(IndexBuild.docsDir(d))
+      .select("chunk_seq", "line", "byte_start", "byte_len", "chunk_text")
+      .collect().sortBy(_.getInt(0))
+    // engine chunks must equal the core chunker's (reference indexOrg
+    // semantics, fts-lmdb.go:546-576)
+    val expected = graft.core.OrgChunker.chunks(orgText)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, c) =>
+      assert(r.getAs[String]("chunk_text") == c.text)
+      assert(r.getAs[Int]("line") == c.line)
+      assert(r.getAs[Long]("byte_start") == c.byteStart)
+      assert(r.getAs[Long]("byte_len") == c.byteLen)
+    }
+    // element classes: headline / paragraph / block / list item / table line
+    assert(expected.map(_.text).head == "* Heading one")
+    assert(expected.exists(_.text.startsWith("#+begin_src")))
+    // and the index is queryable: 'spark' appears in the paragraph element
+    val s = new Search(spark, d)
+    val hit = s.search(Seq("spark")).collect()
+    assert(hit.length == 1 && hit.head.getAs[String]("chunk_text").contains("paragraph"))
+    // block content is indexed too (blocks swallow to the terminator)
+    assert(s.search(Seq("wand")).count() == 1)
+  }
+
+  test("info -groups analog: per-url totals + validity flag") {
+    val g = search.infoGroups().collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_chunks") == 6L)
+    assert(g.head.getAs[Long]("sum_dl") == 12L)
+    assert(!g.head.getAs[Boolean]("deleted"))
+    val chunks = search.infoChunks(g.head.getAs[String]("url")).collect()
+    assert(chunks.length == 6 && chunks.map(_.getAs[Int]("line")).toSeq == (1 to 6))
+  }
+
+  test("explicit-gram candidates equal term-derived candidates (search -grams)") {
+    val grams = graft.core.Gram.gramsSorted(partial = false, Seq("one", "two"))
+    val byGrams = search.candidatesByGrams(grams.toSeq).collect().map(_.getLong(0)).sorted
+    val byTerms = search.candidates(Seq("one", "two")).collect().map(_.getLong(0)).sorted
+    assert(byGrams.toSeq == byTerms.toSeq)
+    // literal parse forms (gramFor fts-lmdb.go:780-793)
+    import graft.core.Gram
+    assert(Gram.parseGram(".TH") == Gram.gramForString(".TH"))
+    assert(Gram.parseGram(f"${Gram.gramForString(".TH")}%04x", hex = true) == Gram.gramForString(".TH"))
+    assert(Gram.parseGram(Gram.gramForString(".TH").toString, dec = true) == Gram.gramForString(".TH"))
+  }
+
   test("html extraction invariant: byte-identical text per url") {
     val r = new Random(6)
     (1 to 100).foreach { _ =>
