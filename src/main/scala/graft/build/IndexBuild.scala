@@ -53,7 +53,14 @@ object IndexBuild {
     blockSize: Int = 128,
     k1: Double = 1.2,
     b: Double = 0.75,
-    chunkMode: String = ChunkMode.Lines) {
+    chunkMode: String = ChunkMode.Lines,
+    /** Max distinct urls for which the doc-id base map is broadcast; above
+      * it the id stamp falls back to a shuffle join (at 10^12 docs a
+      * billions-row broadcast would OOM the executors; in production that
+      * join runs storage-partitioned on the hash(url) bucketing both sides
+      * already share, with no big-side shuffle).
+      */
+    broadcastUrlLimit: Long = 2000000L) {
     require(ChunkMode.All(chunkMode), s"unknown chunkMode: $chunkMode")
   }
 
@@ -65,9 +72,17 @@ object IndexBuild {
     byte_start: Long, byte_len: Long, dl: Int, n_grams: Int,
     chunk_text: String, terms: Array[TermFreq], grams: Array[Int])
 
+  /** Engine stats + build params. `nextDocId` is the monotone id
+    * high-water mark (reference nextOID, fts-lmdb.go:855-867): incremental
+    * updates allocate fresh ids from here; compact/rebuild re-densifies.
+    * avgdl/k1/b/rangeSize are FROZEN between compacts — posting block-max
+    * bounds were computed with them, so queries must score with the same
+    * values (reference analog: stats stale until compact).
+    */
   final case class DocStats(nDocs: Long, sumDl: Long, avgdl: Double,
                             rangeSize: Long, nBuckets: Int, nRanges: Int,
-                            k1: Double, b: Double, watermark: String)
+                            k1: Double, b: Double, watermark: String,
+                            nextDocId: Long)
 
   final case class BuildStats(nDocs: Long, nChunkParts: Int, nTermBuckets: Int,
                               nGramBuckets: Int, resumedChunks: Int,
@@ -173,46 +188,65 @@ object IndexBuild {
     * same join runs as an Iceberg storage-partitioned join on docpart (both
     * sides are bucketed by hash(url)) with no big-side shuffle either.
     */
-  private def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
+  /** Stamp dense, deterministic doc ids `base + rank(url, chunk_seq)` onto
+    * chunk rows via a distributed prefix sum: only tiny (url, count) pairs
+    * shuffle; the heavy chunk rows are id-stamped map-side. Returns the
+    * stamped frame and a cleanup thunk — call it after the action that
+    * consumes the frame (the cached prefix-sum RDD is re-evaluated by that
+    * action).
+    */
+  private[graft] def assignIds(spark: SparkSession, chunks: DataFrame,
+                               base: Long, cfg: Config): (DataFrame, () => Unit) = {
     import spark.implicits._
-    if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
-    val t0 = System.nanoTime()
-    val chunks = spark.read.parquet(chunksDir(dir))
-    // prefix sum: range-sort per-url counts, per-partition totals to the
-    // driver (one long per partition), cumulative offsets back out
     val perUrl = chunks.groupBy($"url").agg(count(lit(1)).as("cnt"))
       .repartitionByRange(cfg.shufflePartitions, $"url")
       .sortWithinPartitions($"url")
       .as[(String, Long)]
       .rdd.cache()
-    val totals = perUrl
+    // per-partition (chunk total, url count) to the driver — two longs per
+    // partition — then cumulative offsets back out
+    val partStats = perUrl
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        var s = 0L; var u = 0L; it.foreach { r => s += r._2; u += 1 }
+        Iterator((i, s, u))
       }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _) // offsets(i) = docs before part i
+      .collect().sortBy(_._1)
+    val nUrls = partStats.map(_._3).sum
+    val offsets = partStats.map(_._2).scanLeft(base)(_ + _)
     val urlBase = spark.createDataset(perUrl.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
       it.map { case (u, c) => val b = acc; acc += c; (u, b) }
     }).toDF("url", "base")
-    // map-only id stamp + write: no shuffle of chunk rows. In-partition sort
-    // by (url, chunk_seq) makes doc_id ascending within each output file, so
-    // parquet row-group min/max stats prune doc_id point lookups.
+    // size-gated broadcast: one row per url — billions at the 10^12-doc
+    // target, where a broadcast would OOM; above the gate the join runs as
+    // a co-partitioned shuffle join (Iceberg storage-partitioned on the
+    // shared hash(url) bucketing in production)
+    val baseSide = if (nUrls <= cfg.broadcastUrlLimit) broadcast(urlBase) else urlBase
+    // map-only id stamp: no shuffle of chunk rows (below the gate).
+    // In-partition sort by (url, chunk_seq) makes doc_id ascending within
+    // each output file, so parquet row-group min/max stats prune doc_id
+    // point lookups.
     val withIds = chunks
       .sortWithinPartitions($"url", $"chunk_seq")
-      .join(broadcast(urlBase), Seq("url"))
+      .join(baseSide, Seq("url"))
       .withColumn("doc_id", $"base" + $"chunk_seq")
       .drop("base")
+    (withIds, () => { perUrl.unpersist(blocking = false); () })
+  }
+
+  private def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
+    import spark.implicits._
+    if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
+    val t0 = System.nanoTime()
+    val chunks = spark.read.parquet(chunksDir(dir))
+    val (withIds, cleanup) = assignIds(spark, chunks, 0L, cfg)
     // doc stats ride along with the write (Observation): no extra pass
     val obs = org.apache.spark.sql.Observation()
     withIds.observe(obs, count(lit(1)).as("n"),
         sum($"dl".cast("long")).as("sum_dl"),
         max($"warc_ts").cast("string").as("wm"))
       .write.mode("overwrite").parquet(docsDir(dir))
-    // only now: the docs write above is the job that consumes urlBase, which
-    // re-evaluates the cached prefix-sum RDD — unpersisting earlier would
-    // silently recompute the groupBy + range shuffle during the write
-    perUrl.unpersist(blocking = false)
+    cleanup()
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
     val sumDl = Option(m("sum_dl")).map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -220,7 +254,7 @@ object IndexBuild {
     val nDocs = n
     val rangeSize = math.max(1L, (nDocs + cfg.nRanges - 1) / cfg.nRanges)
     val stats = DocStats(nDocs, sumDl, if (n == 0) 1.0 else sumDl.toDouble / n,
-      rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm)
+      rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm, nextDocId = nDocs)
     writeDocStats(dir, stats)
     Manifest.append(dir, Manifest.Entry("ids", "all", n, 0L, wm,
       (System.nanoTime() - t0) / 1000000))
@@ -248,17 +282,17 @@ object IndexBuild {
     * emits one delta+varint block segment per (key, range_id) run. Resume
     * unit: bucket.
     */
-  private def stagePostings(spark: SparkSession, dir: String, cfg: Config,
-                            stats: DocStats, grams: Boolean): Int = {
+  /** Posting segment rows for id-stamped chunk rows. ONE shuffle: hash
+    * repartition on (key, range_id) + in-partition sort; the streaming
+    * segment builder then emits one delta+varint block segment per
+    * (key, range_id) run. Shared by the full build (stage 3/4) and the
+    * incremental update's delta append ([[graft.maint.Maintenance.update]]).
+    */
+  private[graft] def buildSegRows(spark: SparkSession, docsT: DataFrame,
+                                  cfg: Config, stats: DocStats, grams: Boolean,
+                                  buckets: Seq[Int]): Dataset[SegRow] = {
     import spark.implicits._
-    val stage = if (grams) "postings_grams" else "postings_terms"
-    val outDir = if (grams) gramPostingsDir(dir) else termPostingsDir(dir)
-    val done = Manifest.completed(dir, stage)
-    val missing = (0 until cfg.nBuckets).filterNot(b => done(b.toString))
-    if (missing.isEmpty) return cfg.nBuckets
-    val t0 = System.nanoTime()
-    val docsT = spark.read.parquet(docsDir(dir))
-      .select($"doc_id", $"dl", if (grams) $"grams" else $"terms")
+    val missing = buckets
     val rangeSize = stats.rangeSize
     val (k1, b, avgdl, blockSize) = (cfg.k1, cfg.b, stats.avgdl, cfg.blockSize)
     // hash repartition on (key, range_id) — NOT repartitionByRange, whose
@@ -352,6 +386,22 @@ object IndexBuild {
             }
           }
       }
+    segRows
+  }
+
+  /** Stage 3/4 — posting segments. Resume unit: bucket. */
+  private def stagePostings(spark: SparkSession, dir: String, cfg: Config,
+                            stats: DocStats, grams: Boolean): Int = {
+    import spark.implicits._
+    val stage = if (grams) "postings_grams" else "postings_terms"
+    val outDir = if (grams) gramPostingsDir(dir) else termPostingsDir(dir)
+    val done = Manifest.completed(dir, stage)
+    val missing = (0 until cfg.nBuckets).filterNot(b => done(b.toString))
+    if (missing.isEmpty) return cfg.nBuckets
+    val t0 = System.nanoTime()
+    val docsT = spark.read.parquet(docsDir(dir))
+      .select($"doc_id", $"dl", if (grams) $"grams" else $"terms")
+    val segRows = buildSegRows(spark, docsT, cfg, stats, grams, missing)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segRows.write.mode("overwrite").partitionBy("bucket").parquet(outDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -396,7 +446,7 @@ object IndexBuild {
       s"""{"n_docs":${s.nDocs},"sum_dl":${s.sumDl},"avgdl":${s.avgdl},""" +
         s""""range_size":${s.rangeSize},"n_buckets":${s.nBuckets},""" +
         s""""n_ranges":${s.nRanges},"k1":${s.k1},"b":${s.b},""" +
-        s""""watermark":"${s.watermark}"}"""
+        s""""next_doc_id":${s.nextDocId},"watermark":"${s.watermark}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "docstats.json"),
       json.getBytes("UTF-8"))
   }
@@ -406,10 +456,14 @@ object IndexBuild {
       java.nio.file.Paths.get(dir, "docstats.json")), "UTF-8")
     def num(k: String): String =
       (s""""$k":([-0-9.eE]+)""").r.findFirstMatchIn(s).get.group(1)
+    def numOpt(k: String): Option[String] =
+      (s""""$k":([-0-9.eE]+)""").r.findFirstMatchIn(s).map(_.group(1))
     def str(k: String): String =
       (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     DocStats(num("n_docs").toLong, num("sum_dl").toLong, num("avgdl").toDouble,
       num("range_size").toLong, num("n_buckets").toInt, num("n_ranges").toInt,
-      num("k1").toDouble, num("b").toDouble, str("watermark"))
+      num("k1").toDouble, num("b").toDouble, str("watermark"),
+      nextDocId = numOpt("next_doc_id").map(_.toLong)
+        .getOrElse(num("n_docs").toLong))
   }
 }

@@ -3,54 +3,128 @@ package graft.maint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.build.{IndexBuild, Manifest}
+import graft.core.Postings
 
 /** Index maintenance — the Spark-native rebuild of the reference's
   * delete / compact / update commands (reference: cmdDelete
   * fts-lmdb.go:893-903, cmdCompact 919-985, cmdUpdate 987-1026).
   *
-  * Mutability model: the index is immutable snapshots + a tombstone set.
-  *  - delete(urls): append tombstones; queries anti-join them (the
-  *    reference's validity byte, fts-lmdb.go:66-69). O(deleted), no index
-  *    rewrite — "DOES NOT RECLAIM SPACE" (fulltext.go:403-404).
-  *  - compact(): drop tombstoned docs from the chunk store and rebuild the
-  *    derived stages (ids/postings/dictionary) — the reference's 3-scan
-  *    space reclamation, expressed as an anti-join + stage invalidation so
-  *    the build machinery (and its per-partition checkpointing) is reused.
-  *  - update(newDocs): diff (url, warc_ts) between the new snapshot and the
-  *    indexed chunk store; re-chunk only changed/new docparts, tombstone
-  *    missing urls, rebuild downstream stages. Unchanged docparts are never
-  *    re-tokenized (the reference's mtime skip, fts-lmdb.go:533-544).
+  * Mutability model (mirrors the reference's): the index is append-only
+  * between compacts, with monotone doc-id allocation and tombstones.
+  *  - delete(urls): append (url, warc_ts, doc_id) tombstone rows for the
+  *    urls' live doc rows; queries anti-join/filter them (the reference's
+  *    validity byte, fts-lmdb.go:66-69). O(deleted), no index rewrite —
+  *    "DOES NOT RECLAIM SPACE" (fulltext.go:403-404).
+  *  - update(newDocs): diff (url, warc_ts) against the live chunk-store
+  *    view; tombstone stale versions, then APPEND the delta only — new doc
+  *    ids from the nextDocId high-water mark (reference: changed file ->
+  *    old group tombstoned, re-added with fresh OIDs, openInputFile
+  *    fts-lmdb.go:533-544), delta posting segments appended per
+  *    (key, range_id), dictionary merged. Work is O(delta); untouched
+  *    chunk/posting files are never rewritten. Every append stage is
+  *    guarded by a manifest entry keyed by the delta hash, so a killed
+  *    update resumes without duplicating ids or postings.
+  *  - compact(): drop every tombstoned (url, warc_ts) version from the
+  *    chunk store and rebuild the derived stages — the reference's 3-scan
+  *    space reclamation; ids re-densify, avgdl/df refresh.
+  *
+  * Stats freshness matches the reference: after update, nDocs/df still
+  * count tombstoned postings (idf base), and avgdl / rangeSize / k1 / b are
+  * FROZEN (posting block-max bounds were built with them) until compact.
+  *
+  * NOTE: `cfg.docParts` must match the value the index was built with
+  * (docpart = hash(url) % docParts addresses the chunk store).
   */
 object Maintenance {
 
   private def tombstonesDir(dir: String) = s"$dir/tombstones"
+  private def emptyGroupsDir(dir: String) = s"$dir/empty_groups"
 
+  /** Stage names appended by update(); invalidated on compact. */
+  private val UpdateStages = Seq("upd_stats", "upd_postings_terms",
+    "upd_postings_grams", "upd_docs", "upd_dict", "upd_chunks")
+
+  /** Tombstone rows (url, warc_ts, doc_id): one row per doc of every stale
+    * VERSION of a group. Doc ids are recorded at tombstone time so queries
+    * never re-scan the docs store to resolve them.
+    */
   def tombstones(spark: SparkSession, dir: String): DataFrame = {
     val p = java.nio.file.Paths.get(tombstonesDir(dir))
     if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
-    else spark.emptyDataFrame.withColumn("url", lit(""))
-      .limit(0).select("url")
+    else {
+      import spark.implicits._
+      Seq.empty[(String, java.sql.Timestamp, Long)]
+        .toDF("url", "warc_ts", "doc_id")
+    }
   }
 
-  /** M1: tombstone groups by url. */
+  /** M1: tombstone groups by url (reference cmdDelete). */
   def delete(spark: SparkSession, dir: String, urls: Seq[String]): Unit = {
     import spark.implicits._
-    urls.toDF("url").write.mode("append").parquet(tombstonesDir(dir))
+    tombstoneDocsOf(spark, dir, urls.toDF("url"))
   }
 
-  /** Query-side live filter (the validity check P5). */
+  /** Append tombstone rows for all not-yet-tombstoned doc rows of `urls`.
+    * Idempotent: re-running tombstones nothing new (anti-join on doc_id).
+    */
+  private def tombstoneDocsOf(spark: SparkSession, dir: String,
+                              urls: DataFrame): Long = {
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    val existing = tombstones(spark, dir)
+    val rows = docs.join(urls.select("url").distinct(), Seq("url"))
+      .select(col("url"), col("warc_ts"), col("doc_id"))
+      .join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("url"), col("warc_ts"), col("doc_id"))
+      .cache()
+    val n = rows.count()
+    if (n > 0) rows.write.mode("append").parquet(tombstonesDir(dir))
+    rows.unpersist()
+    n
+  }
+
+  /** Query-side live view (validity check P5): docs minus tombstoned ids. */
   def liveDocs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(IndexBuild.docsDir(dir))
-      .join(tombstones(spark, dir), Seq("url"), "left_anti")
+      .join(tombstones(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
 
-  /** M2: reclaim space — rewrite the chunk store without tombstoned urls,
-    * then rebuild ids/postings/dictionary via the normal build stages.
+  /** S8 `empty`: register chunk-less groups, skipping urls that already
+    * exist as docs or empty groups (reference cmdEmpty,
+    * fts-lmdb.go:1028-1044). Returns the number of groups added.
+    */
+  def emptyGroups(spark: SparkSession, dir: String, urls: Seq[String]): Long = {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get(emptyGroupsDir(dir))
+    val existing =
+      if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
+      else Seq.empty[String].toDF("url")
+    val docsUrls = spark.read.parquet(IndexBuild.docsDir(dir)).select("url").distinct()
+    val toAdd = urls.toDF("url").distinct()
+      .join(existing, Seq("url"), "left_anti")
+      .join(docsUrls, Seq("url"), "left_anti")
+      .cache()
+    val n = toAdd.count()
+    if (n > 0) toAdd.write.mode("append").parquet(emptyGroupsDir(dir))
+    toAdd.unpersist()
+    n
+  }
+
+  def emptyGroupUrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get(emptyGroupsDir(dir))
+    if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
+    else Seq.empty[String].toDF("url")
+  }
+
+  /** M2: reclaim space — rewrite the chunk store without tombstoned
+    * (url, warc_ts) versions, then rebuild ids/postings/dictionary via the
+    * normal build stages (ids re-densify, stats refresh).
     */
   def compact(spark: SparkSession, dir: String, cfg: IndexBuild.Config): Unit = {
     val t = tombstones(spark, dir)
     if (t.isEmpty) return
     val chunks = spark.read.parquet(IndexBuild.chunksDir(dir))
-    val kept = chunks.join(t, Seq("url"), "left_anti")
+    val kept = chunks.join(t.select("url", "warc_ts").distinct(),
+      Seq("url", "warc_ts"), "left_anti")
     val tmp = s"$dir/chunks_compacting"
     kept.write.mode("overwrite").partitionBy("docpart").parquet(tmp)
     // atomic-ish swap (Iceberg snapshot replace in production)
@@ -58,50 +132,250 @@ object Maintenance {
     org.apache.commons.io.FileUtils.deleteDirectory(fs.resolve("chunks").toFile)
     java.nio.file.Files.move(fs.resolve("chunks_compacting"), fs.resolve("chunks"))
     org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
-    Seq("ids", "postings_terms", "postings_grams", "dictionary")
+    (Seq("ids", "postings_terms", "postings_grams", "dictionary") ++ UpdateStages)
       .foreach(Manifest.invalidateStage(dir, _))
     rebuildDerived(spark, dir, cfg)
   }
 
-  /** M3: incremental reindex from a new docs snapshot. Returns
-    * (nNew, nChanged, nDeleted).
+  /** M3 `-t` dry run (reference cmdUpdate print-plan, fts-lmdb.go:987-1026):
+    * the update plan as (url, action in added|changed|deleted) without
+    * executing anything.
+    */
+  def updatePlan(spark: SparkSession, dir: String, newDocs: DataFrame,
+                 cfg: IndexBuild.Config,
+                 partialSnapshot: Boolean = false): DataFrame =
+    diffVersions(spark, dir, newDocs, cfg, partialSnapshot)
+      .select(col("url"), col("action"))
+
+  /** Diff the incoming snapshot against the live indexed view. Output:
+    * (url, n_ts, action) where action in added|changed|deleted (n_ts null
+    * for deleted). `partialSnapshot=true` treats `newDocs` as a changelog
+    * batch: urls absent from it are NOT deleted, and the chunk-store scan
+    * is pruned to the batch's docparts.
+    */
+  private def diffVersions(spark: SparkSession, dir: String, newDocs: DataFrame,
+                           cfg: IndexBuild.Config,
+                           partialSnapshot: Boolean): DataFrame = {
+    import spark.implicits._
+    val incoming = newDocs
+      .withColumn("n_part", pmod(xxhash64($"url"), lit(cfg.docParts)).cast("int"))
+      .select($"url".as("n_url"), $"warc_ts".as("n_ts"), $"n_part")
+    val tomb = tombstones(spark, dir).select($"url", $"warc_ts").distinct()
+    val chunkVersions0 = spark.read.parquet(IndexBuild.chunksDir(dir))
+      .select($"url", $"warc_ts", $"docpart")
+    val chunkVersions =
+      if (!partialSnapshot) chunkVersions0
+      else {
+        // changelog batch: only the batch's docparts can contain its urls —
+        // prune the chunk-store scan to those partitions (O(dirty parts))
+        val parts = incoming.select($"n_part").distinct().as[Int].collect()
+        chunkVersions0.where($"docpart".isin(parts.toSeq: _*))
+      }
+    val indexed = chunkVersions.select($"url", $"warc_ts").distinct()
+      .join(tomb, Seq("url", "warc_ts"), "left_anti")
+    val joinType = if (partialSnapshot) "right_outer" else "full_outer"
+    indexed.join(incoming, $"url" === $"n_url", joinType)
+      .select(coalesce($"n_url", $"url").as("url"), $"n_ts",
+        when($"n_url".isNull, "deleted")
+          .when($"url".isNull, "added")
+          .when($"warc_ts" =!= $"n_ts", "changed")
+          .as("action"))
+      .where($"action".isNotNull)
+  }
+
+  /** M3: incremental reindex from a docs snapshot (or changelog batch with
+    * `partialSnapshot=true`). Returns (nNew, nChanged, nDeleted). See the
+    * object scaladoc for the append-only model and resume guards.
     */
   def update(spark: SparkSession, dir: String, newDocs: DataFrame,
-             cfg: IndexBuild.Config): (Long, Long, Long) = {
+             cfg: IndexBuild.Config,
+             partialSnapshot: Boolean = false): (Long, Long, Long) = {
     import spark.implicits._
-    val indexed = spark.read.parquet(IndexBuild.chunksDir(dir))
-      .select($"url", $"warc_ts", $"docpart").distinct()
-    val incoming = newDocs
-      .withColumn("docpart", pmod(xxhash64($"url"), lit(cfg.docParts)).cast("int"))
-      .select($"url".as("n_url"), $"warc_ts".as("n_ts"), $"docpart".as("n_part"))
-    val joined = indexed.join(incoming, $"url" === $"n_url", "full_outer").cache()
-    val deleted = joined.where($"n_url".isNull).select($"url", $"docpart")
-    val added = joined.where($"url".isNull).select($"n_part".as("docpart"))
-    val changed = joined.where($"url".isNotNull && $"n_url".isNotNull &&
-      $"warc_ts" =!= $"n_ts").select($"docpart")
-    val nDeleted = deleted.count()
-    val nNew = added.count()
-    val nChanged = changed.count()
-    if (nDeleted + nNew + nChanged == 0) { joined.unpersist(); return (0, 0, 0) }
-    // docparts whose membership changed must be re-chunked
-    val dirtyParts = (deleted.select($"docpart") union added union changed)
-      .distinct().as[Int].collect().toSet
-    joined.unpersist()
-    // invalidate dirty chunk units + all derived stages, then rebuild;
-    // clean docparts keep their manifest rows -> never re-tokenized
-    val manifestPath = java.nio.file.Paths.get(dir, "manifest.jsonl")
-    val keep = java.nio.file.Files.readAllLines(manifestPath)
-    val filtered = new java.util.ArrayList[String]()
-    keep.forEach { l =>
-      val isChunk = l.contains(""""stage":"chunks"""")
-      val unitDirty = dirtyParts.exists(p => l.contains(s""""unit":"$p""""))
-      if (!(isChunk && unitDirty)) filtered.add(l)
+    val diff = diffVersions(spark, dir, newDocs, cfg, partialSnapshot).cache()
+    val nDeleted = diff.where($"action" === "deleted").count()
+    val nNew = diff.where($"action" === "added").count()
+    val nChanged = diff.where($"action" === "changed").count()
+    if (nDeleted + nNew + nChanged == 0) { diff.unpersist(); return (0, 0, 0) }
+
+    // 1. tombstone every stale version (changed urls' old docs + deleted
+    //    urls) — naturally idempotent, no guard needed
+    tombstoneDocsOf(spark, dir,
+      diff.where($"action".isin("changed", "deleted")).select($"url"))
+
+    val delta = diff.where($"action".isin("added", "changed"))
+      .select($"url", $"n_ts")
+    // deterministic batch key over the delta membership (stable across
+    // partial-failure re-runs: the chunk store — the diff source — is only
+    // appended in the LAST stage)
+    val keyRow = delta
+      .agg(sum(xxhash64($"url", $"n_ts".cast("string"))).as("h"),
+        count(lit(1)).as("c")).head()
+    val deltaKey = java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1)
+    diff.unpersist()
+
+    // 2. chunk + tokenize the delta only
+    val chunkMode = cfg.chunkMode
+    val docParts = cfg.docParts
+    val deltaChunks = newDocs.join(delta.select($"url"), Seq("url"))
+      .withColumn("docpart", pmod(xxhash64($"url"), lit(docParts)).cast("int"))
+      .select($"url", $"warc_ts", $"lang", $"text", $"docpart")
+      .as[(String, java.sql.Timestamp, String, String, Int)]
+      .flatMap { case (url, ts, lang, text, part) =>
+        IndexBuild.chunkDoc(url, ts, lang, part, text, chunkMode)
+      }.toDF().cache()
+    val aggRow = deltaChunks.agg(count(lit(1)), sum($"dl".cast("long")),
+      max($"warc_ts").cast("string")).head()
+    val nDeltaChunks = aggRow.getLong(0)
+    val deltaSumDl = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
+    val deltaWm = if (aggRow.isNullAt(2)) "" else aggRow.getString(2)
+
+    val stats0 = IndexBuild.readDocStats(dir)
+    val statsDone = Manifest.completed(dir, "upd_stats")(deltaKey)
+    // ids are reserved by the upd_stats stage; on resume, recover the base
+    // from the (deterministic) delta size
+    val base = if (statsDone) stats0.nextDocId - nDeltaChunks else stats0.nextDocId
+    def guarded(stage: String)(f: => Long): Unit =
+      if (!Manifest.completed(dir, stage)(deltaKey)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        Manifest.append(dir, Manifest.Entry(stage, deltaKey, rows, 0L, deltaWm,
+          (System.nanoTime() - t0) / 1000000))
+      }
+
+    // 3. reserve ids + advance stats BEFORE any id-consuming append, so a
+    //    crashed batch can never collide with the next one
+    guarded("upd_stats") {
+      val wm = if (deltaWm > stats0.watermark) deltaWm else stats0.watermark
+      IndexBuild.writeDocStats(dir, stats0.copy(
+        nDocs = stats0.nDocs + nDeltaChunks,
+        sumDl = stats0.sumDl + deltaSumDl,
+        nextDocId = base + nDeltaChunks,
+        watermark = wm))
+      nDeltaChunks
     }
-    java.nio.file.Files.write(manifestPath, filtered)
-    Seq("ids", "postings_terms", "postings_grams", "dictionary")
-      .foreach(Manifest.invalidateStage(dir, _))
-    IndexBuild.build(spark, newDocs, dir, cfg)
+
+    // 4. append delta posting segments (both families) + docs store rows
+    val (withIds, cleanup) = IndexBuild.assignIds(spark, deltaChunks, base, cfg)
+    val allBuckets = 0 until stats0.nBuckets
+    guarded("upd_postings_terms") {
+      IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"dl", $"terms"),
+          cfg, stats0, grams = false, allBuckets)
+        .write.mode("append").partitionBy("bucket")
+        .parquet(IndexBuild.termPostingsDir(dir))
+      nDeltaChunks
+    }
+    guarded("upd_postings_grams") {
+      IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"grams"),
+          cfg, stats0, grams = true, allBuckets)
+        .write.mode("append").partitionBy("bucket")
+        .parquet(IndexBuild.gramPostingsDir(dir))
+      nDeltaChunks
+    }
+    guarded("upd_docs") {
+      // align column order with the existing docs-store schema
+      val cols = spark.read.parquet(IndexBuild.docsDir(dir)).schema.fieldNames
+      withIds.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("append").parquet(IndexBuild.docsDir(dir))
+      nDeltaChunks
+    }
+    cleanup()
+
+    // 5. merge dictionaries: delta segment metadata (first_doc >= base
+    //    prunes to appended rows) summed into the old dictionaries
+    guarded("upd_dict") { mergeDictionaries(spark, dir, base); 0L }
+
+    // 6. LAST: append the delta to the chunk store — this flips the diff
+    //    source, so completing it makes the whole update a no-op on re-run
+    guarded("upd_chunks") {
+      deltaChunks.write.mode("append").partitionBy("docpart")
+        .parquet(IndexBuild.chunksDir(dir))
+      nDeltaChunks
+    }
+    deltaChunks.unpersist()
     (nNew, nChanged, nDeleted)
+  }
+
+  private def swapWrite(df: DataFrame, target: String): Unit = {
+    val tmp = target + "_new"
+    df.write.mode("overwrite").parquet(tmp)
+    val p = java.nio.file.Paths.get(target)
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+  }
+
+  /** Merge delta posting metadata (segments with first_doc >= base — all
+    * appended by this batch or an orphaned predecessor with the same base)
+    * into the term + gram dictionaries. df/cf keep counting tombstoned
+    * postings until compact, like the reference.
+    */
+  private def mergeDictionaries(spark: SparkSession, dir: String, base: Long): Unit = {
+    val post = spark.read.parquet(IndexBuild.termPostingsDir(dir))
+      .where(col("first_doc") >= base)
+    val deltaDict = post.groupBy(col("key").as("term"))
+      .agg(sum("n_docs").as("d_df"), sum("sum_tf").as("d_cf"),
+        max("max_tf").as("d_max"))
+    val old = spark.read.parquet(IndexBuild.dictDir(dir))
+    val merged = old.join(deltaDict, old("term") === deltaDict("term"), "full_outer")
+      .select(coalesce(old("term"), deltaDict("term")).as("term"),
+        (coalesce(old("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
+        (coalesce(old("cf"), lit(0L)) + coalesce(col("d_cf"), lit(0L))).as("cf"),
+        greatest(coalesce(old("max_tf"), lit(0)), coalesce(col("d_max"), lit(0))).as("max_tf"))
+      .repartitionByRange(8, col("term")).sortWithinPartitions("term")
+    swapWrite(merged, IndexBuild.dictDir(dir))
+    val gpost = spark.read.parquet(IndexBuild.gramPostingsDir(dir))
+      .where(col("first_doc") >= base)
+    val gDelta = gpost.groupBy(substring(col("key"), 2, 10).cast("int").as("gram"))
+      .agg(sum("n_docs").as("d_df"))
+    val gOld = spark.read.parquet(IndexBuild.gramDictDir(dir))
+    val gMerged = gOld.join(gDelta, gOld("gram") === gDelta("gram"), "full_outer")
+      .select(coalesce(gOld("gram"), gDelta("gram")).as("gram"),
+        (coalesce(gOld("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"))
+      .repartitionByRange(8, col("gram")).sortWithinPartitions("gram")
+    swapWrite(gMerged, IndexBuild.gramDictDir(dir))
+  }
+
+  /** Coalesce multi-segment (key, range_id) groups left by incremental
+    * appends into single segments with [[Postings.spliceShards]] — a
+    * byte-level directory/payload splice, no posting re-encoding. Only
+    * buckets that contain multi-segment groups are rewritten. Returns the
+    * number of rewritten buckets.
+    */
+  def mergeSegments(spark: SparkSession, dir: String,
+                    gramsTable: Boolean): Long = {
+    import spark.implicits._
+    val path = if (gramsTable) IndexBuild.gramPostingsDir(dir)
+               else IndexBuild.termPostingsDir(dir)
+    // metadata-only scan (postings column pruned) to find affected buckets
+    val multi = spark.read.parquet(path)
+      .groupBy($"bucket", $"key", $"range_id").agg(count(lit(1)).as("n"))
+      .where($"n" > 1).select($"bucket").distinct().as[Int].collect().sorted
+    if (multi.isEmpty) return 0L
+    val seg = spark.read.parquet(path).where($"bucket".isin(multi.toSeq: _*))
+      .select($"bucket", $"key", $"range_id", $"first_doc", $"last_doc",
+        $"n_docs", $"sum_tf", $"max_tf", $"n_bytes", $"postings")
+      .as[IndexBuild.SegRow]
+    val spliced = seg.groupByKey(r => (r.bucket, r.key, r.range_id))
+      .mapGroups { (k: (Int, String, Int), rows: Iterator[IndexBuild.SegRow]) =>
+        val (bucket, key, range) = k
+        val rs = rows.toArray.sortBy(_.first_doc)
+        if (rs.length == 1) rs.head
+        else {
+          val bytes = Postings.spliceShards(rs.toIndexedSeq.map(_.postings))
+          IndexBuild.SegRow(bucket, key, range, rs.head.first_doc,
+            rs.last.last_doc, rs.map(_.n_docs).sum, rs.map(_.sum_tf).sum,
+            rs.map(_.max_tf).max, bytes.length, bytes)
+        }
+      }
+    val tmp = path + "_merging"
+    spliced.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val p = java.nio.file.Paths.get(path)
+    val t = java.nio.file.Paths.get(tmp)
+    multi.foreach { b =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.resolve(s"bucket=$b").toFile)
+      java.nio.file.Files.move(t.resolve(s"bucket=$b"), p.resolve(s"bucket=$b"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(t.toFile)
+    multi.length.toLong
   }
 
   private def rebuildDerived(spark: SparkSession, dir: String,

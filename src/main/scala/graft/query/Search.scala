@@ -32,14 +32,15 @@ class Search(spark: SparkSession, dir: String,
 
   val stats: IndexBuild.DocStats = IndexBuild.readDocStats(dir)
 
-  /** Tombstoned doc ids (reference validity filter P5). Small pre-compact;
-    * broadcast into kernels and anti-joined in relational paths.
+  /** Tombstoned doc ids (reference validity filter P5). Doc ids are
+    * recorded in the tombstone rows at delete/update time, so this reads
+    * only the small tombstone table — never the docs store. Bounded
+    * between compacts; [[graft.maint.Maintenance.compact]] resets it.
     */
   lazy val tombstonedIds: Set[Long] = {
     val t = graft.maint.Maintenance.tombstones(spark, dir)
     if (t.isEmpty) Set.empty[Long]
-    else spark.read.parquet(IndexBuild.docsDir(dir))
-      .join(t, Seq("url")).select($"doc_id").as[Long].collect().toSet
+    else t.select($"doc_id").as[Long].collect().toSet
   }
 
   private def liveFilter(df: DataFrame): DataFrame =
@@ -152,10 +153,13 @@ class Search(spark: SparkSession, dir: String,
     val idfs = present.map(t => t -> Wand.idf(n, dict(t))).toMap
     val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
     val termsB = present.toArray // lex-sorted
+    val dead = tombstonedIds // same live view as the WAND kernels
     val rows = spark.read.parquet(IndexBuild.docsDir(dir))
       .select($"doc_id", $"dl", $"terms")
       .as[(Long, Int, Array[IndexBuild.TermFreq])]
       .flatMap { case (docId, dl, tfs) =>
+        if (dead.contains(docId)) Iterator.empty
+        else {
         val m = tfs.map(tf => tf.t -> tf.f).toMap
         if (conjunctive && !termsB.forall(m.contains)) Iterator.empty
         else {
@@ -168,6 +172,7 @@ class Search(spark: SparkSession, dir: String,
             }
           }
           if (matched) Iterator(Wand.ScoredDoc(docId, s)) else Iterator.empty
+        }
         }
       }
     rows.toDF("doc_id", "score").orderBy($"score".desc, $"doc_id".asc).limit(k)
@@ -373,15 +378,28 @@ class Search(spark: SparkSession, dir: String,
     * docs store — one shuffle on url, no posting scan.
     */
   def infoGroups(): DataFrame = {
-    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
     val t = graft.maint.Maintenance.tombstones(spark, dir)
-    docs.groupBy($"url").agg(count(lit(1)).as("n_chunks"),
+    val live = graft.maint.Maintenance.liveDocs(spark, dir)
+    val liveAgg = live.groupBy($"url").agg(count(lit(1)).as("n_chunks"),
       sum($"dl".cast("long")).as("sum_dl"),
       sum($"n_grams".cast("long")).as("sum_grams"),
       max($"warc_ts").as("last_changed"))
-      .join(t.select($"url", lit(true).as("del")), Seq("url"), "left")
-      .withColumn("deleted", coalesce($"del", lit(false))).drop("del")
-      .orderBy($"url")
+      .withColumn("deleted", lit(false))
+    // fully-tombstoned groups surface with zero chunks (reference shows
+    // deleted groups in info -groups); empty groups (S8) likewise
+    val deletedRows = t.select($"url").distinct()
+      .join(liveAgg.select($"url"), Seq("url"), "left_anti")
+      .select($"url", lit(0L).as("n_chunks"), lit(0L).as("sum_dl"),
+        lit(0L).as("sum_grams"), lit(null).cast("timestamp").as("last_changed"),
+        lit(true).as("deleted"))
+    val emptyRows = graft.maint.Maintenance.emptyGroupUrls(spark, dir)
+      .select($"url").distinct()
+      .join(liveAgg.select($"url"), Seq("url"), "left_anti")
+      .join(t.select($"url").distinct(), Seq("url"), "left_anti")
+      .select($"url", lit(0L).as("n_chunks"), lit(0L).as("sum_dl"),
+        lit(0L).as("sum_grams"), lit(null).cast("timestamp").as("last_changed"),
+        lit(false).as("deleted"))
+    liveAgg.unionByName(deletedRows).unionByName(emptyRows).orderBy($"url")
   }
 
   /** Per-group chunk listing (reference `info DB GROUP -chunks`,

@@ -37,16 +37,19 @@ object StreamingIndex {
       .start()
   }
 
-  /** Merge one micro-batch of new/updated pages into the index: union the
-    * batch with the still-current rows of the indexed corpus, then run the
-    * incremental update (only the batch's docparts get re-chunked).
+  /** Merge one micro-batch of new/updated pages into the index as a
+    * changelog partial-snapshot update: work is O(batch) — the batch's
+    * urls are diffed against only their own docparts of the chunk store,
+    * stale versions are tombstoned, and the delta is appended (ids from
+    * the nextDocId high-water mark). Nothing outside the batch is read
+    * beyond pruned chunk-store metadata; no corpus reconstruction.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                   cfg: IndexBuild.Config): Unit = synchronized {
     import spark.implicits._
     // a micro-batch may carry several updates to one url; keep only the
-    // newest per url (latest warc_ts) or the union below would produce
-    // duplicate (url, chunk_seq) rows and colliding doc ids
+    // newest per url (latest warc_ts) or the delta would produce duplicate
+    // (url, chunk_seq) rows and colliding doc ids
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy($"url").orderBy($"warc_ts".desc)
     val b = batch.select($"url", $"warc_ts", $"text", $"lang")
@@ -54,23 +57,10 @@ object StreamingIndex {
       .where($"rn" === 1).drop("rn")
       .cache()
     if (b.isEmpty) { b.unpersist(); return }
-    val current =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "docstats.json"))) {
-        // reconstruct the current corpus view from the chunk store
-        spark.read.parquet(IndexBuild.chunksDir(indexDir))
-          .groupBy($"url").agg(
-            max($"warc_ts").as("warc_ts"),
-            first($"lang").as("lang"),
-            concat_ws("", sort_array(collect_list(struct($"chunk_seq", $"chunk_text")))
-              .getField("chunk_text")).as("text"))
-          .join(b.select($"url".as("b_url")), $"url" === $"b_url", "left_anti")
-          .select($"url", $"warc_ts", $"text", $"lang")
-      } else b.limit(0)
-    val snapshot = current.union(b)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "manifest.jsonl")))
-      Maintenance.update(spark, indexDir, snapshot, cfg)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "docstats.json")))
+      Maintenance.update(spark, indexDir, b, cfg, partialSnapshot = true)
     else
-      IndexBuild.build(spark, snapshot, indexDir, cfg)
+      IndexBuild.build(spark, b, indexDir, cfg)
     b.unpersist()
   }
 }

@@ -50,6 +50,122 @@ class MaintenanceSpec extends SparkSuite {
     assert(IndexBuild.readDocStats(dir).nDocs < 600)
   }
 
+  test("update is append-only: every pre-existing chunk/posting/docs file untouched") {
+    val dir = tmpDir("maint-incr")
+    val base = WebCorpus.generate(spark, 60, seed = 44L, partitions = 2).cache()
+    IndexBuild.build(spark, base, dir, cfg)
+    val victims = base.select("url").orderBy("url").as[String].take(2)
+    val changedUrl = victims(0)
+
+    def snapshotFiles(sub: String): Map[String, (Long, Long)] =
+      Files.walk(Paths.get(dir, sub)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(f => f.toString -> (Files.getLastModifiedTime(f).toMillis, Files.size(f)))
+        .toMap
+    val before = Seq("chunks", "postings_terms", "postings_grams", "docs")
+      .map(s => s -> snapshotFiles(s)).toMap
+    val statsBefore = IndexBuild.readDocStats(dir)
+
+    val newDocs = base
+      // 'the' is corpus-common: the delta's tail-range segment shares the
+      // (key, range) of existing segments -> guarantees a multi-segment
+      // group for the mergeSegments check below
+      .withColumn("text", when($"url" === changedUrl,
+        lit("the unique quagga sentence\n")).otherwise($"text"))
+      .withColumn("warc_ts", when($"url" === changedUrl,
+        lit("2022-01-01 00:00:00").cast("timestamp")).otherwise($"warc_ts"))
+    val (nNew, nChanged, nDeleted) = Maintenance.update(spark, dir, newDocs, cfg)
+    assert((nNew, nChanged, nDeleted) == (0L, 1L, 0L))
+
+    // append-only: no pre-existing file rewritten or resized, in ANY stage
+    before.foreach { case (stage, files) =>
+      files.foreach { case (f, (mtime, size)) =>
+        assert(Files.exists(Paths.get(f)), s"$stage file deleted: $f")
+        assert(Files.getLastModifiedTime(Paths.get(f)).toMillis == mtime &&
+          Files.size(Paths.get(f)) == size, s"$stage file rewritten: $f")
+      }
+    }
+    // ids advanced monotonically (reference nextOID), avgdl frozen
+    val statsAfter = IndexBuild.readDocStats(dir)
+    assert(statsAfter.nextDocId > statsBefore.nextDocId)
+    assert(statsAfter.avgdl == statsBefore.avgdl)
+    assert(statsAfter.rangeSize == statsBefore.rangeSize)
+
+    // new content searchable, old version gone; WAND == brute force post-update
+    val s = new Search(spark, dir)
+    assert(s.search(Seq("quagga")).select("url").as[String].collect().toSeq == Seq(changedUrl))
+    val wand = s.bm25TopK(Seq("the"), 10, conjunctive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = s.bm25BruteForce(Seq("the"), 10, conjunctive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == brute)
+
+    // re-running the same update is a no-op (resume-safe diff)
+    assert(Maintenance.update(spark, dir, newDocs, cfg) == (0L, 0L, 0L))
+
+    // second, different update: ids still collision-free, results right
+    val addedUrl = "https://new.example/zz1"
+    val newDocs2 = newDocs.union(
+      Seq((addedUrl, java.sql.Timestamp.valueOf("2022-02-01 00:00:00"),
+        Array.empty[Byte], "the brand new wallaby quagga text\n", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+        .select(newDocs.columns.map(col).toIndexedSeq: _*))
+    assert(Maintenance.update(spark, dir, newDocs2, cfg) == (1L, 0L, 0L))
+    val s2 = new Search(spark, dir)
+    assert(s2.search(Seq("wallaby")).select("url").as[String].collect().toSeq == Seq(addedUrl))
+    // 'quagga' now spans both updates' delta segments (same term, two
+    // appends into the same doc range -> the multi-segment case)
+    assert(s2.search(Seq("quagga")).count() == 2)
+    // docs store has no duplicate live ids
+    val live = Maintenance.liveDocs(spark, dir)
+    assert(live.groupBy("doc_id").count().where($"count" > 1).count() == 0)
+
+    // mergeSegments splices multi-segment (key, range) groups; results equal
+    val preMerge = s2.bm25TopK(Seq("the"), 10, conjunctive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val merged = Maintenance.mergeSegments(spark, dir, gramsTable = false) +
+      Maintenance.mergeSegments(spark, dir, gramsTable = true)
+    assert(merged > 0, "expected multi-segment groups to splice")
+    val multiAfter = spark.read.parquet(IndexBuild.termPostingsDir(dir))
+      .groupBy("key", "range_id").count().where($"count" > 1).count()
+    assert(multiAfter == 0)
+    val s3 = new Search(spark, dir)
+    val postMerge = s3.bm25TopK(Seq("the"), 10, conjunctive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(postMerge == preMerge)
+    assert(s3.search(Seq("wallaby")).count() == 1)
+
+    // compact after updates: re-densifies and refreshes stats
+    Maintenance.compact(spark, dir, cfg)
+    val s4 = new Search(spark, dir)
+    assert(s4.tombstonedIds.isEmpty)
+    assert(s4.search(Seq("quagga")).count() == 2)
+    assert(s4.search(Seq("wallaby")).count() == 1)
+    val statsC = IndexBuild.readDocStats(dir)
+    assert(statsC.nextDocId == statsC.nDocs)
+  }
+
+  test("updatePlan is a dry run; emptyGroups skips existing (update -t / empty)") {
+    val dir = tmpDir("maint-plan")
+    val base = WebCorpus.generate(spark, 20, seed = 55L, partitions = 2).cache()
+    IndexBuild.build(spark, base, dir, cfg)
+    val dropUrl = base.select("url").orderBy("url").head().getString(0)
+    val newDocs = base.where($"url" =!= dropUrl)
+    val plan = Maintenance.updatePlan(spark, dir, newDocs, cfg)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(plan.toSeq == Seq((dropUrl, "deleted")))
+    // dry run executed nothing: url still searchable, no tombstones
+    assert(new Search(spark, dir).tombstonedIds.isEmpty)
+    assert(Maintenance.tombstones(spark, dir).count() == 0)
+
+    // empty groups: add two, one colliding with an indexed url -> skipped
+    assert(Maintenance.emptyGroups(spark, dir, Seq("e://1", dropUrl)) == 1L)
+    assert(Maintenance.emptyGroups(spark, dir, Seq("e://1", "e://2")) == 1L)
+    val s = new Search(spark, dir)
+    val g = s.infoGroups().where($"n_chunks" === 0).select("url").as[String].collect()
+    assert(g.sorted.toSeq == Seq("e://1", "e://2"))
+  }
+
   test("update re-chunks only dirty docparts; clean parts never re-tokenized") {
     val dir = tmpDir("maint-upd")
     val base = WebCorpus.generate(spark, 80, seed = 33L, partitions = 2).cache()

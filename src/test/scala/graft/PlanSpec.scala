@@ -50,6 +50,30 @@ class PlanSpec extends SparkSuite {
     assert(!rs.contains("postings"), s"postings column read for a count: $rs")
   }
 
+  test("doc-id base join broadcast is size-gated (no broadcast above the url limit)") {
+    import org.apache.spark.sql.functions._
+    val chunks = spark.read.parquet(IndexBuild.chunksDir(dir))
+    def idPlan(limit: Long): org.apache.spark.sql.DataFrame = {
+      val (withIds, cleanup) = IndexBuild.assignIds(spark, chunks, 0L,
+        IndexBuild.Config(shufflePartitions = 4, broadcastUrlLimit = limit))
+      val df = withIds.select("url", "doc_id")
+      cleanup(); df
+    }
+    // below the gate: our explicit broadcast hint is present in the logical plan
+    val hinted = idPlan(Long.MaxValue).queryExecution.analyzed.toString
+    assert(hinted.toLowerCase.contains("broadcast"),
+      "expected broadcast hint below the gate")
+    // above the gate (limit 0): no broadcast hint — at 10^12 docs the url
+    // base map must never be broadcast
+    val unhinted = idPlan(0L).queryExecution.analyzed.toString
+    assert(!unhinted.toLowerCase.contains("broadcast"),
+      "url base map broadcast despite exceeding the gate")
+    // and both paths produce identical ids
+    val a = idPlan(Long.MaxValue).collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val b = idPlan(0L).collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("whole-stage codegen covers the relational ops pipeline") {
     val df = graft.ops.TextOps.termDf(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))

@@ -39,7 +39,33 @@ class StreamingMultimodalSpec extends SparkSuite {
       assert(s2.search(Seq("delta")).count() == 1)
       assert(s2.search(Seq("beta")).count() == 0) // old version replaced
       assert(s2.search(Seq("zeta")).count() == 1)
-      assert(IndexBuild.readDocStats(dir).nDocs == 2)
+      // append-only update: nDocs counts the tombstoned old version until
+      // compact (reference: space/stats reclaimed only by compact)
+      assert(IndexBuild.readDocStats(dir).nDocs == 3)
+
+      // third batch: per-batch work is O(batch) — every pre-existing chunk
+      // file stays untouched (no corpus reconstruction, no rewrite)
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val before = Files.walk(Paths.get(dir, "chunks")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+      mem.addData(WebCorpus.makeDoc(3, 7L).copy(text = "iota kappa lambda\n"))
+      q.processAllAvailable()
+      val s3 = new Search(spark, dir)
+      assert(s3.search(Seq("iota")).count() == 1)
+      assert(s3.search(Seq("delta")).count() == 1)
+      before.foreach { case (f, t) =>
+        assert(Files.getLastModifiedTime(Paths.get(f)).toMillis == t,
+          s"batch rewrote a pre-existing chunk file: $f")
+      }
+
+      // compact reclaims: stats re-densify to the 3 live docs
+      graft.maint.Maintenance.compact(spark, dir, cfg)
+      assert(IndexBuild.readDocStats(dir).nDocs == 3)
+      val s4 = new Search(spark, dir)
+      assert(s4.search(Seq("beta")).count() == 0)
+      assert(s4.search(Seq("delta")).count() == 1)
     } finally q.stop()
   }
 
