@@ -26,29 +26,71 @@ import graft.core.{Gram, Postings, Tokenizer}
 class Search(spark: SparkSession, dir: String,
              /** see [[MaxInlineCandidates]]; tests inject 0 to force the
                * join-hydration path */
-             maxInlineCandidates: Int = Search.DefaultMaxInlineCandidates)
+             maxInlineCandidates: Int = Search.DefaultMaxInlineCandidates,
+             /** see [[MaxInlineTombstones]]; tests inject 0 to force the
+               * distributed dead-id path */
+             maxInlineTombstones: Long = Search.DefaultMaxInlineTombstones)
     extends Serializable {
   import spark.implicits._
+  import Search.Seg
 
   val stats: IndexBuild.DocStats = IndexBuild.readDocStats(dir)
 
-  /** Tombstoned doc ids (reference validity filter P5). Doc ids are
-    * recorded in the tombstone rows at delete/update time, so this reads
-    * only the small tombstone table — never the docs store. Bounded
-    * between compacts; [[graft.maint.Maintenance.compact]] resets it.
+  /** Tombstone cardinality — a parquet-footer count over the small
+    * tombstone table (never the docs store).
+    */
+  lazy val nTombstones: Long = {
+    val t = graft.maint.Maintenance.tombstones(spark, dir)
+    if (t.isEmpty) 0L else t.count()
+  }
+
+  /** Tombstoned doc ids (reference validity filter P5) as an exact driver
+    * set — only materialized below [[Search.MaxInlineTombstones]]; a
+    * bulk-delete backlog must never collect to the driver (use the
+    * distributed cogroup path instead). Bounded between compacts;
+    * [[graft.maint.Maintenance.compact]] resets it.
     */
   lazy val tombstonedIds: Set[Long] = {
-    val t = graft.maint.Maintenance.tombstones(spark, dir)
-    if (t.isEmpty) Set.empty[Long]
-    else t.select($"doc_id").as[Long].collect().toSet
+    if (nTombstones == 0) Set.empty[Long]
+    else graft.maint.Maintenance.tombstones(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
   }
 
   private def liveFilter(df: DataFrame): DataFrame =
-    if (tombstonedIds.isEmpty) df
-    else {
+    if (nTombstones == 0) df
+    else if (nTombstones <= maxInlineTombstones) {
       val ids = tombstonedIds
       df.where(!$"doc_id".isInCollection(ids))
+    } else
+      df.join(graft.maint.Maintenance.tombstones(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+
+  /** Run a per-range posting kernel with the right tombstone plan: below
+    * the gate, an exact dead set travels in the closure; above it, the
+    * tombstone ids stay distributed and are cogrouped into each range's
+    * kernel by range_id — no driver materialization, exact semantics.
+    */
+  private def perRangeKernel[T: org.apache.spark.sql.Encoder](
+      segs: org.apache.spark.sql.Dataset[Seg])(
+      kernel: (Iterator[Seg], Long => Boolean) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    if (nTombstones <= maxInlineTombstones) {
+      val dead = tombstonedIds
+      val live: Long => Boolean =
+        if (dead.isEmpty) _ => true else d => !dead.contains(d)
+      segs.groupByKey(_.range_id).flatMapGroups((_, it) => kernel(it, live))
+    } else {
+      val rs = stats.rangeSize
+      val deadByRange = graft.maint.Maintenance.tombstones(spark, dir)
+        .select($"doc_id").as[Long]
+        .map(id => ((id / rs).toInt, id))
+        .groupByKey(_._1)
+      segs.groupByKey(_.range_id).cogroup(deadByRange) { (_, segIt, deadIt) =>
+        val ds = new scala.collection.mutable.HashSet[Long]
+        deadIt.foreach(ds += _._2)
+        kernel(segIt, d => !ds.contains(d))
+      }
     }
+  }
 
   private def termBucket(t: String): Int = {
     // must match pmod(xxhash64(term), nBuckets) used at build
@@ -78,7 +120,6 @@ class Search(spark: SparkSession, dir: String,
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
-  import Search.Seg
 
   /** Pruned scan of a postings table for the given keys. */
   private def segments(keys: Seq[String], gramsTable: Boolean): org.apache.spark.sql.Dataset[Seg] = {
@@ -120,10 +161,8 @@ class Search(spark: SparkSession, dir: String,
     val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
     val nTerms = effective.size
     val conj = conjunctive
-    val dead = tombstonedIds
-    val perRange = segments(effective, gramsTable = false)
-      .groupByKey(_.range_id)
-      .flatMapGroups { (_, rows) =>
+    val perRange = perRangeKernel(segments(effective, gramsTable = false)) {
+      (rows, live) =>
         val byTerm = rows.toArray.groupBy(_.key)
         val cursors = termMeta.toArray.sortBy(_._2._1).flatMap { case (t, (idx, idfV)) =>
           byTerm.get(t).map { segs =>
@@ -132,8 +171,8 @@ class Search(spark: SparkSession, dir: String,
           }
         }
         if (conj && cursors.length != nTerms) Iterator.empty
-        else Wand.topK(cursors, k, conj, k1, b, avgdl, dead.contains).iterator
-      }
+        else Wand.topK(cursors, k, conj, k1, b, avgdl, d => !live(d)).iterator
+    }
     perRange.toDF("doc_id", "score")
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
@@ -153,13 +192,12 @@ class Search(spark: SparkSession, dir: String,
     val idfs = present.map(t => t -> Wand.idf(n, dict(t))).toMap
     val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
     val termsB = present.toArray // lex-sorted
-    val dead = tombstonedIds // same live view as the WAND kernels
-    val rows = spark.read.parquet(IndexBuild.docsDir(dir))
-      .select($"doc_id", $"dl", $"terms")
+    // same live view as the WAND kernels (size-gated via liveFilter)
+    val rows = liveFilter(spark.read.parquet(IndexBuild.docsDir(dir))
+        .select($"doc_id", $"dl", $"terms"))
       .as[(Long, Int, Array[IndexBuild.TermFreq])]
       .flatMap { case (docId, dl, tfs) =>
-        if (dead.contains(docId)) Iterator.empty
-        else {
+        {
         val m = tfs.map(tf => tf.t -> tf.f).toMap
         if (conjunctive && !termsB.forall(m.contains)) Iterator.empty
         else {
@@ -210,21 +248,17 @@ class Search(spark: SparkSession, dir: String,
       return spark.range(0).select($"id".as("doc_id"))
     val keys = grams.map(g => s"g$g").toSeq
     val nKeys = keys.size
-    val dead = tombstonedIds
-    segments(keys, gramsTable = true)
-      .groupByKey(_.range_id)
-      .flatMapGroups { (_, rows) =>
-        val byKey = rows.toArray.groupBy(_.key)
-        if (byKey.size != nKeys) Iterator.empty
-        else {
-          val cursors = byKey.toArray.sortBy(_._1).zipWithIndex.map {
-            case ((_, segs), i) =>
-              new Wand.TermCursor(i, 0.0, segs.sortBy(_.first_doc).map(_.postings), 1.2, 0.75)
-          }
-          Wand.intersect(cursors, d => !dead.contains(d))
+    perRangeKernel(segments(keys, gramsTable = true)) { (rows, live) =>
+      val byKey = rows.toArray.groupBy(_.key)
+      if (byKey.size != nKeys) Iterator.empty
+      else {
+        val cursors = byKey.toArray.sortBy(_._1).zipWithIndex.map {
+          case ((_, segs), i) =>
+            new Wand.TermCursor(i, 0.0, segs.sortBy(_.first_doc).map(_.postings), 1.2, 0.75)
         }
+        Wand.intersect(cursors, live)
       }
-      .toDF("doc_id")
+    }.toDF("doc_id")
   }
 
   /** [[candidates]] as one hash aggregation (count == |Q|) — kept for plan
@@ -274,20 +308,17 @@ class Search(spark: SparkSession, dir: String,
       return spark.range(0).select($"id".as("doc_id"), lit(0L).as("hits"),
         lit(0.0).as("ratio"))
     val q = grams.length.toDouble
-    val dead = tombstonedIds
     val minR = minRatio
-    segments(grams.map(g => s"g$g").toSeq, gramsTable = true)
-      .groupByKey(_.range_id)
-      .flatMapGroups { (_, rows) =>
+    perRangeKernel(segments(grams.map(g => s"g$g").toSeq, gramsTable = true)) {
+      (rows, live) =>
         val cursors = rows.toArray.groupBy(_.key).toArray.sortBy(_._1)
           .zipWithIndex.map { case ((_, segs), i) =>
             new Wand.TermCursor(i, 0.0, segs.sortBy(_.first_doc).map(_.postings), 1.2, 0.75)
           }
-        Wand.overlapCounts(cursors, d => !dead.contains(d))
+        Wand.overlapCounts(cursors, live)
           .filter { case (_, hits) => hits / q >= minR }
           .map { case (d, hits) => (d, hits.toLong, hits / q) }
-      }
-      .toDF("doc_id", "hits", "ratio")
+    }.toDF("doc_id", "hits", "ratio")
   }
 
   // ------------------------------------------------------- full search
@@ -433,6 +464,14 @@ object Search {
     * a hot-term candidate list must never be collected to the driver.
     */
   final val DefaultMaxInlineCandidates = 100000
+
+  /** Tombstone sets up to this size ship as an exact driver-collected set
+    * in kernel closures (16 MB of longs at the limit); above it dead ids
+    * stay distributed and are cogrouped into the range kernels / anti-
+    * joined in relational paths — a bulk-delete backlog must never OOM the
+    * driver. Compaction resets the set.
+    */
+  final val DefaultMaxInlineTombstones = 2000000L
 
   /** Posting-segment row projection used by query scans (top-level so the
     * Dataset encoder's generated code can construct it).

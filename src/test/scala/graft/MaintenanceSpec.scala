@@ -145,6 +145,28 @@ class MaintenanceSpec extends SparkSuite {
     assert(statsC.nextDocId == statsC.nDocs)
   }
 
+  test("distributed tombstone path (cogrouped dead ids) == inline driver set") {
+    val dir = tmpDir("maint-tomb")
+    val docs = WebCorpus.generate(spark, 80, seed = 66L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val victims = docs.select("url").orderBy("url").as[String].take(5).toSeq
+    Maintenance.delete(spark, dir, victims)
+    val inline = new Search(spark, dir) // default gate: driver set
+    val dist = new Search(spark, dir, maxInlineTombstones = 0) // forced cogroup
+    assert(dist.nTombstones > 0)
+    def rows(s: Search) = Seq(
+      s.bm25TopK(Seq("the"), 10, conjunctive = false).collect().map(_.toSeq).toSeq,
+      s.candidates(Seq("the")).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      s.fuzzy(Seq("the"), 0.5).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      s.candidatesAgg(Seq("the")).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      s.bm25BruteForce(Seq("the"), 10, conjunctive = false).collect().map(_.toSeq).toSeq)
+    assert(rows(inline) == rows(dist))
+    // and the distributed path actually excludes the victims
+    val victimIds = inline.tombstonedIds
+    assert(dist.candidates(Seq("the")).as[Long].collect()
+      .toSet.intersect(victimIds).isEmpty)
+  }
+
   test("updatePlan is a dry run; emptyGroups skips existing (update -t / empty)") {
     val dir = tmpDir("maint-plan")
     val base = WebCorpus.generate(spark, 20, seed = 55L, partitions = 2).cache()
