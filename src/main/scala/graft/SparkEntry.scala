@@ -197,7 +197,19 @@ object SparkEntry {
         .select(urlToDocId.as("doc_id"), col("n_chunks").cast("long"),
           col("sum_dl"), col("sum_grams"),
           col("deleted").cast("long").as("deleted"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // ---- fuzzy global ordering (reference -fuzzy -sort, W2/W4)
+    "q33_fuzzy_sorted" -> ((s, d) =>
+      engine(s, d).fuzzySearch(FuzzyArgs, 0.5, sortGlobal = true)
+        .select(urlToDocId.as("doc_id"), col("hits").cast("long"),
+          expr(s"CAST((hits * 1000) div ${FuzzyGrams.length} AS long)").as("permille"),
+          col("rn").cast("long"))
+        .orderBy("rn")),
+    // ---- SimHash Hamming-banded near-dup pairs
+    "q34_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docsTable(s, d), bands = 5, maxHamming = 1)),
+    // ---- full-fidelity gram coverage CDF (reference info -grams)
+    "q35_gram_coverage" -> ((s, d) => engine(s, d).gramCoverage())
   )
 
   // ---------------------------------------------------------------- oracles
@@ -427,6 +439,49 @@ object SparkEntry {
                  CAST(len(w.arr) AS BIGINT) AS sum_dl,
                  CAST(coalesce(g.n_grams, 0) AS BIGINT) AS sum_grams,
                  CAST(0 AS BIGINT) AS deleted
-          FROM w LEFT JOIN g ON w.doc_id = g.doc_id ORDER BY w.doc_id"""
+          FROM w LEFT JOIN g ON w.doc_id = g.doc_id ORDER BY w.doc_id""",
+    "q33_fuzzy_sorted" ->
+      s"""WITH f AS (
+            SELECT doc_id, count(*) AS hits,
+                   (count(*) * 1000) // ${FuzzyGrams.length} AS permille
+            FROM ($GRAMS) WHERE gram IN (${inList(FuzzyGrams.toSeq)})
+            GROUP BY doc_id HAVING count(*) * 2 >= ${FuzzyGrams.length})
+          SELECT doc_id, CAST(hits AS BIGINT) AS hits,
+                 CAST(permille AS BIGINT) AS permille,
+                 CAST(row_number() OVER (ORDER BY hits ASC, doc_id ASC) AS BIGINT) AS rn
+          FROM f ORDER BY rn""",
+    "q34_simhash_pairs" ->
+      s"""WITH w AS ($W),
+          tf AS (SELECT doc_id, term, count(*) AS f FROM ($TOK) GROUP BY 1, 2),
+          h AS (SELECT doc_id, f,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split_regex(term, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS hv FROM tf),
+          bits AS (SELECT doc_id, b.i AS bit,
+                   sum(CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1 THEN f ELSE -f END) AS v
+                   FROM h, (SELECT unnest(range(0, ${Dedup.SimHashBits})) AS i) b
+                   GROUP BY 1, 2),
+          sims AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+                   FROM bits GROUP BY doc_id),
+          banded AS (SELECT doc_id, simhash, b.i AS band,
+                     (simhash >> CAST(b.i * 6 AS INT)) & 63 AS bkey
+                     FROM sims, (SELECT unnest(range(0, 5)) AS i) b),
+          cands AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS sa,
+                           b.doc_id AS db, b.simhash AS sb
+                    FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          FROM cands WHERE bit_count(xor(sa, sb)) <= 1 ORDER BY da, db""",
+    "q35_gram_coverage" -> {
+      val th = graft.query.Search.CoverageThresholdsPpm.mkString(", ")
+      s"""WITH gd AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM ($GRAMS) GROUP BY gram),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS chunks FROM documents),
+          th AS (SELECT CAST(unnest([$th]) AS BIGINT) AS ppm)
+          SELECT th.ppm,
+                 CAST(sum(CASE WHEN gd.df * 1000000 <= th.ppm * n.chunks THEN 1 ELSE 0 END) AS BIGINT) AS n_grams
+          FROM th CROSS JOIN n CROSS JOIN gd
+          GROUP BY th.ppm ORDER BY th.ppm"""
+    }
   )
 }

@@ -122,6 +122,32 @@ object Dedup {
 
   final val SimHashBits = 30 // < 31 so hv bit extraction stays in range
 
+  /** SimHash near-dup pairs: band the signatures (OR-amplification), pair
+    * on band collisions only, then verify by exact Hamming distance —
+    * never all-pairs, the same 100 TB shape as the MinHash+LSH path.
+    * `bands` must divide [[SimHashBits]].
+    */
+  def simhashPairs(docs: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
+    require(SimHashBits % bands == 0, s"bands must divide $SimHashBits")
+    val bandBits = SimHashBits / bands
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(simhash, cast(band * $bandBits AS int)) & ${mask}L"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("sa"),
+        col("b.doc_id").as("db"), col("b.simhash").as("sb"))
+      .distinct()
+    cands.withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
+      .orderBy("da", "db")
+  }
+
   /** 30-bit SimHash per doc from tf-weighted word-hash bit votes. */
   def simhash(docs: DataFrame): DataFrame = {
     val wordTf = TextOps.tokens(docs)

@@ -321,6 +321,37 @@ class Search(spark: SparkSession, dir: String,
     }.toDF("doc_id", "hits", "ratio")
   }
 
+  /** Fuzzy search with the reference's result framing (W2/W4). Hydrates
+    * [[fuzzy]] doc rows to chunks and orders them like the reference:
+    *  - default: per-group best-match-first (chunkInfo fts-lmdb.go:1366-1371)
+    *    — rows ranked within each url by (ratio desc), output ordered
+    *    (url asc, rn asc), optional per-group limit;
+    *  - `sortGlobal=true` (`-fuzzy -sort`, sortFuzzy fts-lmdb.go:1390-1408):
+    *    one global ordering (ratio ASC, url ASC) ignoring group framing.
+    * The reference's equal-ratio order is map-iteration nondeterministic;
+    * we tie-break by doc_id for reproducibility. The global rank window is
+    * display-side (result sets are bounded by minRatio), not a data-scale
+    * operator.
+    */
+  def fuzzySearch(args: Seq[String], minRatio: Double,
+                  sortGlobal: Boolean = false,
+                  limitPerGroup: Int = Int.MaxValue): DataFrame = {
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    val hydrated = docs.join(fuzzy(args, minRatio), Seq("doc_id"))
+    if (sortGlobal) {
+      val w = Window.orderBy($"ratio".asc, $"url".asc, $"doc_id".asc)
+      hydrated.withColumn("rn", row_number().over(w))
+        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text", $"rn")
+        .orderBy($"rn")
+    } else {
+      val w = Window.partitionBy($"url").orderBy($"ratio".desc, $"doc_id".asc)
+      hydrated.withColumn("rn", row_number().over(w))
+        .where($"rn" <= limitPerGroup)
+        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text", $"rn")
+        .orderBy($"url", $"rn")
+    }
+  }
+
   // ------------------------------------------------------- full search
 
   private val verifyUdf = udf { (chunk: String, args: Seq[String], partial: Boolean) =>
@@ -444,6 +475,41 @@ class Search(spark: SparkSession, dir: String,
       .orderBy($"byte_start")
   }
 
+  /** Full-fidelity gram coverage CDF (reference `info -grams`,
+    * displayGrams fts-lmdb.go:319-381): for each of the reference's 15
+    * thresholds, how many grams appear in <= that fraction of chunks.
+    * Integer-exact (thresholds in ppm: df*10^6 <= ppm*nChunks) so the
+    * DuckDB oracle hashes bit-stably. The gram dictionary is bounded by
+    * 37^3 rows, so the threshold cross join is O(1) at any corpus size.
+    */
+  def gramCoverage(): DataFrame = {
+    val nChunks = stats.nDocs
+    val thDf = Search.CoverageThresholdsPpm.toDF("ppm")
+    val gd = spark.read.parquet(IndexBuild.gramDictDir(dir))
+      .select($"df".cast("long").as("df"))
+    val counts = gd.crossJoin(thDf)
+      .where($"df" * lit(1000000L) <= $"ppm" * lit(nChunks))
+      .groupBy($"ppm").agg(count(lit(1)).as("n_grams"))
+    thDf.join(counts, Seq("ppm"), "left")
+      .select($"ppm", coalesce($"n_grams", lit(0L)).as("n_grams"))
+      .orderBy($"ppm")
+  }
+
+  /** Storage byte totals (reference displayGrams totalBytes/chunkBytes/
+    * gramBytes): logical payload bytes from segment metadata (n_bytes) and
+    * chunk byte lengths — metadata-only scans, postings column pruned.
+    */
+  def indexSizes(): DataFrame = {
+    val chunkBytes = spark.read.parquet(IndexBuild.docsDir(dir))
+      .agg(sum($"byte_len").as("chunk_bytes"))
+    val gramBytes = spark.read.parquet(IndexBuild.gramPostingsDir(dir))
+      .agg(sum($"n_bytes".cast("long")).as("gram_bytes"))
+    val termBytes = spark.read.parquet(IndexBuild.termPostingsDir(dir))
+      .agg(sum($"n_bytes".cast("long")).as("term_bytes"))
+    chunkBytes.crossJoin(gramBytes).crossJoin(termBytes)
+      .withColumn("total_bytes", $"chunk_bytes" + $"gram_bytes" + $"term_bytes")
+  }
+
   /** Gram selectivity histogram (reference `info -grams`, displayGrams
     * fts-lmdb.go:319-381) — the skew diagnostic that motivates salting.
     */
@@ -472,6 +538,13 @@ object Search {
     * driver. Compaction resets the set.
     */
   final val DefaultMaxInlineTombstones = 2000000L
+
+  /** The reference's 15 coverage thresholds (fts-lmdb.go:322-339) in parts
+    * per million, ascending.
+    */
+  final val CoverageThresholdsPpm: Seq[Long] = Seq(1L, 10L, 100L, 1000L,
+    10000L, 50000L, 100000L, 200000L, 300000L, 700000L, 750000L, 800000L,
+    900000L, 950000L, 990000L)
 
   /** Posting-segment row projection used by query scans (top-level so the
     * Dataset encoder's generated code can construct it).

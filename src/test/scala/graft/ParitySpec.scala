@@ -70,6 +70,32 @@ class ParitySpec extends SparkSuite {
     assert(rows.forall(_.getAs[Double]("ratio") == 1.0))
   }
 
+  test("fuzzy result framing: per-group best-match-first; -sort global (ratio asc, url asc)") {
+    // args 'three four': partial grams THR HRE REE FOU OUR (5). Lines with
+    // 'three' score 3/5, lines with 'four' score 2/5.
+    val perGroup = search.fuzzySearch(Seq("three", "four"), 0.3).collect()
+    assert(perGroup.nonEmpty)
+    // within the single url, ratios are non-increasing with rank
+    val ranked = perGroup.map(r => (r.getAs[Int]("rn"), r.getAs[Double]("ratio")))
+    assert(ranked.map(_._1).toSeq == (1 to ranked.length))
+    ranked.sliding(2).foreach {
+      case Array((_, r1), (_, r2)) => assert(r1 >= r2)
+      case _ =>
+    }
+    assert(ranked.head._2 == 0.6 && ranked.last._2 == 0.4)
+    // per-group limit applies to the score-ranked frame
+    assert(search.fuzzySearch(Seq("three", "four"), 0.3, limitPerGroup = 2).count() == 2)
+    // global -sort: ascending ratio, ties by url/doc_id (sortFuzzy)
+    val g = search.fuzzySearch(Seq("three", "four"), 0.3, sortGlobal = true).collect()
+    val gRanked = g.map(r => (r.getAs[Int]("rn"), r.getAs[Double]("ratio"), r.getAs[Long]("doc_id")))
+    assert(gRanked.map(_._1).toSeq == (1 to g.length))
+    gRanked.sliding(2).foreach {
+      case Array((_, r1, d1), (_, r2, d2)) =>
+        assert(r1 < r2 || (r1 == r2 && d1 < d2))
+      case _ =>
+    }
+  }
+
   test("file-cover search (-file mode): AND across args, OR across chunks") {
     // url has 'one' (line 1) and 'five' (line 4) in different chunks
     assert(search.searchFiles(Seq("one", "five")).count() == 1)
