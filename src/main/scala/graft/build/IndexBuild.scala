@@ -320,7 +320,10 @@ object IndexBuild {
                 if (cur == null && it.hasNext) cur = it.next()
                 if (cur == null) { pending = null; return }
                 val (gkey, bucket, range) = (cur.gkey, cur.bucket, cur.range_id)
-                val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize)
+                // membership-only layout: no tf/dl sections (the gram index
+                // never scores — candidates/fuzzy only need doc ids)
+                val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize,
+                  hasTfDl = false)
                 val first = cur.doc_id
                 var last = cur.doc_id
                 var n = 0L

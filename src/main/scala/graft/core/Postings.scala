@@ -11,17 +11,25 @@ package graft.core
   *
   * Layout (all ints are [[Varint]] unless noted):
   * {{{
-  *   [numDocs] [numBlocks] [dirByteLen]
+  *   [numDocs] [numBlocks] [flags] [dirByteLen]
+  *   flags bit 0: hasTfDl — membership-only segments (the trigram candidate
+  *     index, which never scores) omit the tf/dl sections entirely: ~2
+  *     bytes/posting smaller and nothing to decode on the intersection path
   *   directory, per block (self-contained — enables O(1) block skip and
   *   byte-splice merging of range-salted shards):
   *     [docCount] [firstDocId abs] [lastDocId abs] [maxTf]
   *     [blockMaxScoreBits: 4-byte BE float] [payloadByteLen]
   *   payloads, per block:
   *     [docId deltas x (docCount-1)]  (first doc comes from the directory)
-  *     [tf x docCount]
-  *     [dl x docCount]   (exact doc length — scoring needs it at the cursor;
+  *     if hasTfDl:
+  *       [tf x docCount]
+  *       [dl x docCount] (exact doc length — scoring needs it at the cursor;
   *                        a 10^12-row doc-stats join per query would not scale)
   * }}}
+  *
+  * tf/dl decoding is LAZY per block: leapfrog intersection and WAND block
+  * skipping decode only doc-id deltas; the tf/dl arrays of a block are
+  * decoded on first access (i.e. only for blocks that actually score).
   *
   * blockMaxScore is the block's max of the BM25 tf-saturation factor
   * `tf / (tf + k1*(1 - b + b*dl/avgdl))`, rounded UP so
@@ -39,7 +47,8 @@ object Postings {
     * Doc ids must be added in strictly increasing order.
     */
   final class SegmentBuilder(k1: Double, b: Double, avgdl: Double,
-                             blockSize: Int = DefaultBlockSize) {
+                             blockSize: Int = DefaultBlockSize,
+                             hasTfDl: Boolean = true) {
     require(blockSize > 0)
     private val dir = new Varint.Writer(256)
     private val payload = new Varint.Writer(1024)
@@ -67,19 +76,23 @@ object Postings {
       var maxTf = 0
       var maxScore = 0.0
       var i = 0
-      while (i < inBlock) {
-        if (blockTfs(i) > maxTf) maxTf = blockTfs(i)
-        val s = tfSaturation(blockTfs(i), blockDls(i), k1, b, avgdl)
-        if (s > maxScore) maxScore = s
-        i += 1
-      }
+      if (hasTfDl) {
+        while (i < inBlock) {
+          if (blockTfs(i) > maxTf) maxTf = blockTfs(i)
+          val s = tfSaturation(blockTfs(i), blockDls(i), k1, b, avgdl)
+          if (s > maxScore) maxScore = s
+          i += 1
+        }
+      } else maxTf = 1 // membership-only: tf/dl are implicitly 1
       val pay = new Varint.Writer(inBlock * 4)
       i = 1
       while (i < inBlock) { pay.putNum(blockDocs(i) - blockDocs(i - 1)); i += 1 }
-      i = 0
-      while (i < inBlock) { pay.putNum(blockTfs(i).toLong); i += 1 }
-      i = 0
-      while (i < inBlock) { pay.putNum(blockDls(i)); i += 1 }
+      if (hasTfDl) {
+        i = 0
+        while (i < inBlock) { pay.putNum(blockTfs(i).toLong); i += 1 }
+        i = 0
+        while (i < inBlock) { pay.putNum(blockDls(i)); i += 1 }
+      }
       dir.putNum(inBlock.toLong)
       dir.putNum(blockDocs(0))
       dir.putNum(blockDocs(inBlock - 1))
@@ -97,6 +110,7 @@ object Postings {
       val out = new Varint.Writer(32 + dir.size + payload.size)
       out.putNum(nDocs)
       out.putNum(nBlocks)
+      out.putNum(if (hasTfDl) 1L else 0L)
       out.putNum(dir.size.toLong)
       out.putBytes(dir.result())
       out.putBytes(payload.result())
@@ -116,7 +130,9 @@ object Postings {
     var nDocs = 0L
     var nBlocks = 0L
     var lastDoc = -1L
+    val flags = parsed.head._2.flags
     parsed.foreach { case (_, h) =>
+      require(h.flags == flags, "shards mix segment layouts (flags differ)")
       require(h.firstDocId > lastDoc,
         s"shards out of order: first ${h.firstDocId} after $lastDoc")
       lastDoc = h.lastDocId
@@ -127,6 +143,7 @@ object Postings {
     val out = new Varint.Writer()
     out.putNum(nDocs)
     out.putNum(nBlocks)
+    out.putNum(flags)
     out.putNum(dirLen)
     parsed.foreach { case (s, h) => out.putBytes(s, h.dirStart, h.dirLen) }
     parsed.foreach { case (s, h) => out.putBytes(s, h.payloadStart, s.length - h.payloadStart) }
@@ -137,6 +154,7 @@ object Postings {
     val r = new Varint.Reader(bytes)
     val numDocs: Long = r.getNum()
     val numBlocks: Long = r.getNum()
+    val flags: Long = r.getNum()
     val dirLen: Int = r.getNum().toInt
     val dirStart: Int = r.off
     val payloadStart: Int = dirStart + dirLen
@@ -162,6 +180,7 @@ object Postings {
     private val hdr = new Varint.Reader(bytes)
     val numDocs: Long = hdr.getNum()
     val numBlocks: Int = hdr.getNum().toInt
+    val hasTfDl: Boolean = (hdr.getNum() & 1L) == 1L
     private val dirLen = hdr.getNum().toInt
     private val dirStart = hdr.off
     private val payloadBase = dirStart + dirLen
@@ -206,6 +225,8 @@ object Postings {
     private var dls: Array[Long] = null
     private var pos = 0
     private var cnt = 0
+    private var tfOff = 0          // payload offset of the tf section
+    private var tfDecoded = false  // lazily decoded on first tf/dl access
 
     def currentBlock: Int = blk
 
@@ -219,11 +240,24 @@ object Postings {
       docs(0) = bFirst(i)
       var j = 1
       while (j < cnt) { docs(j) = docs(j - 1) + r.getNum(); j += 1 }
-      j = 0
-      while (j < cnt) { tfs(j) = r.getNum().toInt; j += 1 }
-      j = 0
-      while (j < cnt) { dls(j) = r.getNum(); j += 1 }
+      tfOff = r.off
+      tfDecoded = false
       pos = 0
+    }
+
+    /** Decode the block's tf/dl sections — only for blocks that score. */
+    private def decodeTfDl(): Unit = {
+      if (hasTfDl) {
+        val r = new Varint.Reader(bytes, tfOff)
+        var j = 0
+        while (j < cnt) { tfs(j) = r.getNum().toInt; j += 1 }
+        j = 0
+        while (j < cnt) { dls(j) = r.getNum(); j += 1 }
+      } else {
+        java.util.Arrays.fill(tfs, 0, cnt, 1)
+        java.util.Arrays.fill(dls, 0, cnt, 1L)
+      }
+      tfDecoded = true
     }
 
     /** Advance to next posting; false at end. */
@@ -234,8 +268,8 @@ object Postings {
     }
 
     def docId: Long = docs(pos)
-    def tf: Int = tfs(pos)
-    def dl: Long = dls(pos)
+    def tf: Int = { if (!tfDecoded) decodeTfDl(); tfs(pos) }
+    def dl: Long = { if (!tfDecoded) decodeTfDl(); dls(pos) }
 
     /** Position at first posting with docId >= target; false if exhausted.
       * Never moves backwards.

@@ -112,13 +112,17 @@ class Search(spark: SparkSession, dir: String,
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  def gramDictLookup(grams: Seq[Int]): Map[Int, Long] = {
-    if (grams.isEmpty) return Map.empty
+  /** The whole gram dictionary, cached driver-side: it is bounded by the
+    * gram space (37^3 = 50,653 entries) at ANY corpus size, so one small
+    * job per Search instance replaces a dictionary-scan job per query.
+    */
+  private lazy val gramDict: Map[Int, Long] =
     spark.read.parquet(IndexBuild.gramDictDir(dir))
-      .where($"gram".isin(grams: _*))
       .select($"gram", $"df".cast("long"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-  }
+
+  def gramDictLookup(grams: Seq[Int]): Map[Int, Long] =
+    grams.iterator.flatMap(g => gramDict.get(g).map(g -> _)).toMap
 
 
   /** Pruned scan of a postings table for the given keys. */

@@ -85,6 +85,37 @@ class PostingsSpec extends AnyFunSuite {
     assert(ds.toSeq == ps.map(_._1) && ts.toSeq == ps.map(_._2))
   }
 
+  test("membership-only layout (hasTfDl=false): smaller, decodes tf/dl as 1") {
+    val r = new Random(61)
+    val ps = randPostings(r, 600)
+    val slim = {
+      val sb = new Postings.SegmentBuilder(k1, b, avgdl, 128, hasTfDl = false)
+      ps.foreach { case (d, _, _) => sb.add(d, 1, 1L) }
+      sb.result()
+    }
+    val fat = {
+      val sb = new Postings.SegmentBuilder(k1, b, avgdl, 128)
+      ps.foreach { case (d, _, _) => sb.add(d, 1, 1L) }
+      sb.result()
+    }
+    assert(slim.length < fat.length - 600, // >= 2 varint bytes/posting saved
+      s"slim=${slim.length} fat=${fat.length}")
+    val (ds, ts, ls) = Postings.decodeAllWithDl(slim)
+    assert(ds.toSeq == ps.map(_._1) && ts.forall(_ == 1) && ls.forall(_ == 1L))
+    // skipTo works identically on the slim layout
+    val it = new Postings.SegmentIterator(slim)
+    assert(it.skipTo(ps(300)._1) && it.docId == ps(300)._1 && it.tf == 1)
+    // splicing slim shards keeps the layout
+    val shards = ps.grouped(128).map { g =>
+      val sb = new Postings.SegmentBuilder(k1, b, avgdl, 128, hasTfDl = false)
+      g.foreach { case (d, _, _) => sb.add(d, 1, 1L) }
+      sb.result()
+    }.toSeq
+    assert(Postings.spliceShards(shards).toSeq == slim.toSeq)
+    // mixing layouts is rejected
+    intercept[IllegalArgumentException](Postings.spliceShards(Seq(slim, fat)))
+  }
+
   test("strictly-increasing docId is enforced") {
     val sb = new Postings.SegmentBuilder(k1, b, avgdl)
     sb.add(5, 1, 10)
