@@ -171,8 +171,12 @@ object Maintenance {
         val parts = incoming.select($"n_part").distinct().as[Int].collect()
         chunkVersions0.where($"docpart".isin(parts.toSeq: _*))
       }
+    // one row per url: the group's current version is its newest live
+    // timestamp (addChunk can add rows under a newer ts without making a
+    // new "version"; reference lastChanged is likewise the most recent)
     val indexed = chunkVersions.select($"url", $"warc_ts").distinct()
       .join(tomb, Seq("url", "warc_ts"), "left_anti")
+      .groupBy($"url").agg(max($"warc_ts").as("warc_ts"))
     val joinType = if (partialSnapshot) "right_outer" else "full_outer"
     indexed.join(incoming, $"url" === $"n_url", joinType)
       .select(coalesce($"n_url", $"url").as("url"), $"n_ts",
@@ -293,6 +297,62 @@ object Maintenance {
     }
     deltaChunks.unpersist()
     (nNew, nChanged, nDeleted)
+  }
+
+  /** S4 `chunk` command analog (cmdChunk fts-lmdb.go:476-507): append ONE
+    * caller-supplied chunk with EXPLICIT grams, bypassing the gram
+    * extractor (parse literal forms with [[graft.core.Gram.parseGram]]).
+    * Like the reference, the chunk accumulates under its group — nothing
+    * is tombstoned; chunk_seq continues the group's live sequence so ids
+    * stay dense after compact. Term postings come from the data's word
+    * tokens; gram postings from the given grams. Driver-side id
+    * allocation — this is the reference's single-chunk CLI op, not a bulk
+    * path (use [[update]] for bulk). Returns the new doc id.
+    */
+  def addChunk(spark: SparkSession, dir: String, url: String, data: String,
+               grams: Seq[Int], warcTs: java.sql.Timestamp,
+               cfg: IndexBuild.Config): Long = {
+    import spark.implicits._
+    val stats0 = IndexBuild.readDocStats(dir)
+    val docId = stats0.nextDocId
+    val seqRow = liveDocs(spark, dir).where($"url" === url)
+      .agg(max($"chunk_seq")).head()
+    val nextSeq = if (seqRow.isNullAt(0)) 0 else seqRow.getInt(0) + 1
+    val gs = grams.distinct.sorted.toArray
+    val tfs = graft.core.Tokenizer.termFreqs(data)
+      .map { case (t, f) => IndexBuild.TermFreq(t, f) }
+    val dl = { var s = 0; tfs.foreach(s += _.f); s }
+    val part = {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(url),
+          org.apache.spark.sql.types.StringType, 42L)
+      math.floorMod(h, cfg.docParts.toLong).toInt
+    }
+    val byteLen = data.getBytes("UTF-8").length.toLong
+    val row = IndexBuild.ChunkRow(url, warcTs, "", part, nextSeq, nextSeq + 1,
+      0L, data.codePointCount(0, data.length).toLong, 0L, byteLen, dl,
+      gs.length, data, tfs, gs)
+    val delta = Seq(row).toDS().toDF()
+    val withId = delta.withColumn("doc_id", lit(docId))
+    // reserve the id first (same crash discipline as update)
+    IndexBuild.writeDocStats(dir, stats0.copy(nDocs = stats0.nDocs + 1,
+      sumDl = stats0.sumDl + dl, nextDocId = docId + 1))
+    val allBuckets = 0 until stats0.nBuckets
+    IndexBuild.buildSegRows(spark, withId.select($"doc_id", $"dl", $"terms"),
+        cfg, stats0, grams = false, allBuckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(IndexBuild.termPostingsDir(dir))
+    IndexBuild.buildSegRows(spark, withId.select($"doc_id", $"grams"),
+        cfg, stats0, grams = true, allBuckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(IndexBuild.gramPostingsDir(dir))
+    val cols = spark.read.parquet(IndexBuild.docsDir(dir)).schema.fieldNames
+    withId.select(cols.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(IndexBuild.docsDir(dir))
+    delta.write.mode("append").partitionBy("docpart")
+      .parquet(IndexBuild.chunksDir(dir))
+    mergeDictionaries(spark, dir, docId)
+    docId
   }
 
   private def swapWrite(df: DataFrame, target: String): Unit = {

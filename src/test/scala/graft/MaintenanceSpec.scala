@@ -145,6 +145,39 @@ class MaintenanceSpec extends SparkSuite {
     assert(statsC.nextDocId == statsC.nDocs)
   }
 
+  test("addChunk: explicit grams, accumulates under the group, survives compact (chunk cmd)") {
+    val dir = tmpDir("maint-chunk")
+    val docs = WebCorpus.generate(spark, 30, seed = 77L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val url = docs.select("url").orderBy("url").head().getString(0)
+    val nBefore = Maintenance.liveDocs(spark, dir).where($"url" === url).count()
+    // explicit grams from literals (search -grams forms), NOT from the data
+    val gs = Seq(graft.core.Gram.parseGram(".ZQ"), graft.core.Gram.parseGram("ZQX"),
+      graft.core.Gram.parseGram("QX."))
+    val id = Maintenance.addChunk(spark, dir, url, "okapi payload", gs,
+      java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), cfg)
+    assert(id == IndexBuild.readDocStats(dir).nextDocId - 1)
+    // retrievable by its EXPLICIT grams; its data tokens feed the TERM
+    // index only (reference cmdChunk indexes just the supplied grams —
+    // a gram-candidate search for 'okapi' must NOT see it)
+    val s = new Search(spark, dir)
+    assert(s.candidatesByGrams(gs).as[Long].collect().toSeq == Seq(id))
+    assert(s.bm25TopK(Seq("okapi"), 5, conjunctive = true)
+      .collect().map(_.getLong(0)).toSeq == Seq(id))
+    assert(s.candidates(Seq("okapi")).count() == 0)
+    // the group accumulated (old chunks intact)
+    assert(Maintenance.liveDocs(spark, dir).where($"url" === url).count() == nBefore + 1)
+    // compact keeps it, ids stay dense
+    Maintenance.delete(spark, dir, Seq(docs.select("url").orderBy(desc("url")).head().getString(0)))
+    Maintenance.compact(spark, dir, cfg)
+    val s2 = new Search(spark, dir)
+    // explicit grams survive compact (the chunk store keeps them verbatim)
+    assert(s2.candidatesByGrams(gs).count() == 1)
+    assert(s2.bm25TopK(Seq("okapi"), 5, conjunctive = true).count() == 1)
+    val live = spark.read.parquet(IndexBuild.docsDir(dir))
+    assert(live.groupBy("doc_id").count().where($"count" > 1).count() == 0)
+  }
+
   test("distributed tombstone path (cogrouped dead ids) == inline driver set") {
     val dir = tmpDir("maint-tomb")
     val docs = WebCorpus.generate(spark, 80, seed = 66L, partitions = 2)
