@@ -209,7 +209,13 @@ object SparkEntry {
     "q34_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docsTable(s, d), bands = 5, maxHamming = 1)),
     // ---- full-fidelity gram coverage CDF (reference info -grams)
-    "q35_gram_coverage" -> ((s, d) => engine(s, d).gramCoverage())
+    "q35_gram_coverage" -> ((s, d) => engine(s, d).gramCoverage()),
+    // ---- LSH near-dup vector pairs (banded SRP collide -> exact verify)
+    "q36_lsh_neardup_pairs" -> ((s, d) =>
+      Similarity.lshNearDupPairs(embTable(s, d), 400)),
+    // ---- IVF ANN: probe nearest coarse clusters, exact re-rank inside
+    "q37_ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(embTable(s, d), nQueries = 3, k = 5, nProbe = 3))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -255,15 +261,20 @@ object SparkEntry {
         jac AS (SELECT da, db, (common * 1000) // (ca.n + cb.n - common) AS jaccard_permille
                 FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)"""
 
-  private val CosExpr =
-    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         list_transform(range(1, len(qe) + 1),
-           i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))), (acc, v) -> acc + v)
+  /** DuckDB cosine with the same left-to-right fold as the Spark-side
+    * `aggregate` expressions (Similarity.cosineDoubleExpr) — identical
+    * operation sequence, identical doubles.
+    */
+  private def cosSqlRaw(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len($a) + 1),
+           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)
        / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
+           list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
        / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(ne, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
-       * 1000"""
+           list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))"""
+
+  private val CosExpr = cosSqlRaw("qe", "ne") + " * 1000"
 
   def oracleSql: Map[String, String] = Map(
     "q01_terms_df" ->
@@ -482,6 +493,58 @@ object SparkEntry {
                  CAST(sum(CASE WHEN gd.df * 1000000 <= th.ppm * n.chunks THEN 1 ELSE 0 END) AS BIGINT) AS n_grams
           FROM th CROSS JOIN n CROSS JOIN gd
           GROUP BY th.ppm ORDER BY th.ppm"""
+    },
+    "q36_lsh_neardup_pairs" -> {
+      val bitExprs = (0 until Similarity.LshPlanes).map { i =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(embedding) + 1), j ->
+                CAST(embedding[j] AS DOUBLE) *
+                (CASE WHEN ((CAST(j - 1 AS BIGINT) * 19349663 + $i * 73856093) % 97) % 2 = 0
+                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+              (acc, v) -> acc + v) >= 0
+            THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"""
+      }.mkString(" + ")
+      val ppb = Similarity.LshPlanes / Similarity.LshBands
+      s"""WITH bk AS (SELECT vec_id, embedding, CAST($bitExprs AS BIGINT) AS bucket FROM embeddings),
+          banded AS (SELECT vec_id, embedding, b.i AS band,
+                     (bucket >> CAST(b.i * $ppb AS INT)) & ${(1 << ppb) - 1} AS bkey
+                     FROM bk, (SELECT unnest(range(0, ${Similarity.LshBands})) AS i) b),
+          cands AS (SELECT DISTINCT a.vec_id AS va, a.embedding AS ea,
+                           b.vec_id AS vb, b.embedding AS eb
+                    FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+          SELECT va, vb, cos_permille FROM (
+            SELECT va, vb, CAST(floor(${cosSqlRaw("ea", "eb")} * 1000) AS BIGINT) AS cos_permille
+            FROM cands)
+          WHERE cos_permille >= 400 ORDER BY va, vb"""
+    },
+    "q37_ann_ivf_topk" -> {
+      val (nq, stride, kC, nProbe, topK) =
+        (3, Similarity.IvfStride, Similarity.IvfK, 3, 5)
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+                         WHERE vec_id >= $nq AND (vec_id - $nq) % $stride = 0
+                         ORDER BY vec_id LIMIT $kC),
+          cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $nq),
+          assign AS (SELECT vec_id, cid AS cluster FROM (
+            SELECT c.vec_id, ct.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY ${cosSqlRaw("c.embedding", "ct.cemb")} DESC, ct.cid) AS rn
+            FROM cand c, cents ct) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+          probes AS (SELECT query_id, cid AS cluster FROM (
+            SELECT q.query_id, ct.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSqlRaw("q.qe", "ct.cemb")} DESC, ct.cid) AS rn
+            FROM q, cents ct) WHERE rn <= $nProbe),
+          lists AS (SELECT a.cluster, a.vec_id AS neighbor_id, e.embedding AS ne
+                    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+          scored AS (SELECT p.query_id, l.neighbor_id,
+                     CAST(floor(${cosSqlRaw("q.qe", "l.ne")}  * 1000) AS BIGINT) AS cos_permille
+                     FROM probes p JOIN lists l USING (cluster) JOIN q USING (query_id))
+          SELECT query_id, neighbor_id, cos_permille, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_permille DESC, neighbor_id) AS rn FROM scored)
+          WHERE rn <= $topK ORDER BY query_id, rn"""
     }
   )
 }

@@ -60,7 +60,14 @@ object IndexBuild {
       * join runs storage-partitioned on the hash(url) bucketing both sides
       * already share, with no big-side shuffle).
       */
-    broadcastUrlLimit: Long = 2000000L) {
+    broadcastUrlLimit: Long = 2000000L,
+    /** Parquet scan split size for the build's map-only stages (id stamp,
+      * posting explode). These stages' parallelism equals their scan split
+      * count, so Spark's 128 MB default caps them below the core count on
+      * mid-size inputs — 32 MB keeps every level saturated (the ids stage
+      * measured 2.2x from 4->16 cores under the default, 128 MB / 14 splits).
+      */
+    maxPartitionBytes: Long = 32L * 1024 * 1024) {
     require(ChunkMode.All(chunkMode), s"unknown chunkMode: $chunkMode")
   }
 
@@ -116,6 +123,7 @@ object IndexBuild {
 
   def build(spark: SparkSession, docs: DataFrame, dir: String,
             cfg: Config = Config()): BuildStats = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes.toString)
     val resumedChunks = stageChunks(spark, docs, dir, cfg)
     val stats = stageIds(spark, dir, cfg)
     val resumedTerm = stagePostings(spark, dir, cfg, stats, grams = false)

@@ -76,6 +76,76 @@ object Similarity {
     }.reduce(_ union _)
   }
 
+  /** Raw-double cosine with the same explicit left-to-right fold as
+    * [[cosinePermilleExpr]] — used where ORDERING by cosine must agree
+    * bit-exactly with an oracle evaluating the identical operation sequence.
+    */
+  private def cosineDoubleExpr(a: String, b: String): String =
+    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS double) * CAST(y AS double)), CAST(0.0 AS double), (acc, v) -> acc + v)
+         / sqrt(aggregate($a, CAST(0.0 AS double), (acc, v) -> acc + CAST(v AS double) * CAST(v AS double)))
+         / sqrt(aggregate($b, CAST(0.0 AS double), (acc, v) -> acc + CAST(v AS double) * CAST(v AS double))))"""
+
+  final val IvfK = 8       // coarse-quantizer centroids (cluster: thousands)
+  final val IvfStride = 17 // deterministic seed stride over candidate ids
+
+  /** IVF coarse centroids: K strided candidate vectors (deterministic seed
+    * medoids — no Lloyd averaging, whose float summation order would not be
+    * oracle-reproducible). At scale the centroid table stays tiny and
+    * broadcasts; the assignment pass below is map-only.
+    */
+  def ivfCentroids(emb: DataFrame, nQueries: Int): DataFrame =
+    emb.where(col("vec_id") >= nQueries &&
+        pmod(col("vec_id") - nQueries, lit(IvfStride)) === 0)
+      .orderBy("vec_id").limit(IvfK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+
+  /** IVF inverted lists: every candidate vector assigned to its nearest
+    * centroid (cosine argmax, ties to the smaller cid) — one broadcast
+    * join + window, no shuffle of the embedding table beyond the window.
+    * At 100 TB `cluster` becomes the storage partition key, so a query
+    * touches nProbe partitions instead of the corpus.
+    */
+  def ivfAssign(emb: DataFrame, nQueries: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosd").desc, col("cid").asc)
+    emb.where(col("vec_id") >= nQueries)
+      .join(broadcast(ivfCentroids(emb, nQueries)), lit(true))
+      .withColumn("cosd", expr(cosineDoubleExpr("embedding", "cemb")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** IVF ANN top-k: rank centroids per query, probe the nProbe nearest
+    * clusters' lists, exact-cosine re-rank within them. The approximation
+    * is the probe set; scoring is exact.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosd").desc, col("cid").asc)
+    val probes = queries
+      .join(broadcast(ivfCentroids(emb, nQueries)), lit(true))
+      .withColumn("cosd", expr(cosineDoubleExpr("qe", "cemb")))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cluster"))
+    val lists = ivfAssign(emb, nQueries)
+      .join(emb.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
+      .select(col("cluster"), col("vec_id").as("neighbor_id"), col("ne"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_permille").desc, col("neighbor_id").asc)
+    probes.join(lists, Seq("cluster"))
+      .join(queries, Seq("query_id"))
+      .withColumn("cos_permille", expr(cosinePermilleExpr("qe", "ne")))
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** LSH-bucketed near-duplicate vector pairs, exactly verified: pairs that
     * collide in any band AND have exact cosine >= threshold (permille).
     */

@@ -13,11 +13,22 @@ import graft.sources.WebCorpus
   *   Cli index INDEXDIR (--synth N | --parquet PATH) [--buckets B] [--ranges R]
   *   Cli search INDEXDIR TERM...           (conjunctive candidates + verify)
   *   Cli search-partial INDEXDIR TERM...
-  *   Cli fuzzy INDEXDIR RATIO TERM...
+  *   Cli search-grams INDEXDIR [-gx|-gd] GRAM...  (explicit-gram candidates)
+  *   Cli fuzzy INDEXDIR RATIO TERM...      (per-group best-match-first)
+  *   Cli fuzzy-sort INDEXDIR RATIO TERM... (-fuzzy -sort global ordering)
   *   Cli bm25 INDEXDIR K and|or TERM...
   *   Cli files INDEXDIR TERM...            (-file cover mode)
+  *   Cli chunk INDEXDIR URL DATA [-gx|-gd] GRAM...  (explicit-gram chunk)
+  *   Cli empty INDEXDIR URL...             (chunk-less groups, skip existing)
+  *   Cli update-plan INDEXDIR --synth N    (update -t dry run)
+  *   Cli merge-segments INDEXDIR           (splice incremental appends)
   *   Cli info INDEXDIR
+  *   Cli info-groups INDEXDIR              (per-group totals + validity)
+  *   Cli info-chunks INDEXDIR URL
   *   Cli grams-info INDEXDIR               (selectivity histogram)
+  *   Cli gram-coverage INDEXDIR            (15-threshold CDF + sizes)
+  *
+  * `index` accepts --org to chunk by org-mode elements (reference -org).
   */
 object Cli {
   private def session(): SparkSession = {
@@ -48,7 +59,11 @@ object Cli {
         rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v.toInt }.getOrElse(dflt)
       val stats = IndexBuild.build(spark, docs, dir, IndexBuild.Config(
         nBuckets = intOpt("--buckets", 8), nRanges = intOpt("--ranges", 8),
-        docParts = intOpt("--docparts", 8)))
+        docParts = intOpt("--docparts", 8),
+        chunkMode =
+          if (rest.contains("--org")) IndexBuild.ChunkMode.Org
+          else if (rest.contains("--doc")) IndexBuild.ChunkMode.Doc
+          else IndexBuild.ChunkMode.Lines))
       println(s"indexed n_docs=${stats.nDocs} resumedChunkParts=${stats.resumedChunks} " +
         s"resumedTermBuckets=${stats.resumedTermBuckets}")
     case "search" :: dir :: terms if terms.nonEmpty =>
@@ -78,10 +93,44 @@ object Cli {
         WebCorpus.generate(spark, n.toLong), IndexBuild.Config(
           nBuckets = 8, nRanges = 8, docParts = 8))
       println(s"update: new=$nn changed=$nc deleted=$nd")
+    case "search-grams" :: dir :: rest if rest.nonEmpty =>
+      val (hex, dec) = (rest.contains("-gx"), rest.contains("-gd"))
+      val lits = rest.filterNot(Set("-gx", "-gd"))
+      val gs = lits.map(graft.core.Gram.parseGram(_, hex, dec))
+      show(new Search(session(), dir).candidatesByGrams(gs).orderBy("doc_id"))
+    case "fuzzy-sort" :: dir :: ratio :: terms if terms.nonEmpty =>
+      show(new Search(session(), dir)
+        .fuzzySearch(terms, ratio.toDouble, sortGlobal = true))
+    case "chunk" :: dir :: url :: data :: rest if rest.nonEmpty =>
+      val (hex, dec) = (rest.contains("-gx"), rest.contains("-gd"))
+      val gs = rest.filterNot(Set("-gx", "-gd"))
+        .map(graft.core.Gram.parseGram(_, hex, dec))
+      val id = graft.maint.Maintenance.addChunk(session(), dir, url, data, gs,
+        new java.sql.Timestamp(0L), IndexBuild.Config())
+      println(s"added chunk doc_id=$id")
+    case "empty" :: dir :: urls if urls.nonEmpty =>
+      val n = graft.maint.Maintenance.emptyGroups(session(), dir, urls)
+      println(s"added $n empty group(s)")
+    case "update-plan" :: dir :: "--synth" :: n :: Nil =>
+      val spark = session()
+      show(graft.maint.Maintenance.updatePlan(spark, dir,
+        WebCorpus.generate(spark, n.toLong), IndexBuild.Config()))
+    case "merge-segments" :: dir :: Nil =>
+      val s = session()
+      val n = graft.maint.Maintenance.mergeSegments(s, dir, gramsTable = false) +
+        graft.maint.Maintenance.mergeSegments(s, dir, gramsTable = true)
+      println(s"rewrote $n bucket(s)")
     case "info" :: dir :: Nil =>
       show(new Search(session(), dir).info())
+    case "info-groups" :: dir :: Nil =>
+      show(new Search(session(), dir).infoGroups())
+    case "info-chunks" :: dir :: url :: Nil =>
+      show(new Search(session(), dir).infoChunks(url))
     case "grams-info" :: dir :: Nil =>
       show(new Search(session(), dir).gramHistogram())
+    case "gram-coverage" :: dir :: Nil =>
+      val s = new Search(session(), dir)
+      show(s.gramCoverage()); show(s.indexSizes())
     case _ =>
       System.err.println("see Cli scaladoc for usage"); sys.exit(1)
   }

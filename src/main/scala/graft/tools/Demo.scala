@@ -31,12 +31,24 @@ object Demo {
         println(s"line=${c.line} runeOff=${c.runeOff} runeLen=${c.runeLen} " +
           s"byteStart=${c.byteStart} byteLen=${c.byteLen} text=${c.text.stripLineEnd}")
       }
+    case "org-chunks" :: text :: Nil =>
+      OrgChunker.chunks(text.replace("\\n", "\n")).foreach { c =>
+        println(s"line=${c.line} byteStart=${c.byteStart} byteLen=${c.byteLen} " +
+          s"text=${c.text.replace("\n", "\\n")}")
+      }
+    case "gram-parse" :: rest if rest.nonEmpty =>
+      // reference -gx / -gd / unicode literal forms (gramFor fts-lmdb.go:780-793)
+      val (hex, dec) = (rest.contains("-gx"), rest.contains("-gd"))
+      val lits = rest.filterNot(Set("-gx", "-gd"))
+      println(lits.map(l => Gram.parseGram(l, hex, dec))
+        .map(g => s"$g=${Gram.gramString(g)}").mkString(" "))
     case "verify" :: chunk :: terms =>
       println(Tokenizer.verifyAll(chunk, terms, partial = false))
     case _ =>
       System.err.println(
         """usage: Demo grams TEXT... | grams-partial TEXT... | varint N
-          |       postings-demo | chunks TEXT | verify CHUNK TERM...""".stripMargin)
+          |       postings-demo | chunks TEXT | org-chunks TEXT
+          |       gram-parse [-gx|-gd] LIT... | verify CHUNK TERM...""".stripMargin)
       sys.exit(1)
   }
 }
