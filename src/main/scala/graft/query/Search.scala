@@ -358,9 +358,12 @@ class Search(spark: SparkSession, dir: String,
 
   // ------------------------------------------------------- full search
 
-  private val verifyUdf = udf { (chunk: String, args: Seq[String], partial: Boolean) =>
-    Tokenizer.verifyAll(chunk, args, partial)
-  }
+  /** Whole-word verify as a codegen'd Catalyst expression — see
+    * [[graft.functions.VerifyMatch]] (stays inside whole-stage codegen; no
+    * per-row args conversion like the UDF form it replaced).
+    */
+  private def verifyCol(chunk: Column, args: Seq[String], partial: Boolean): Column =
+    graft.functions.VerifyMatch(chunk, args, partial)
 
   /** Full reference search semantics: gram candidates -> hydrate chunk rows
     * -> exact whole-word verify (AND of args) -> per-url ordering by
@@ -394,7 +397,7 @@ class Search(spark: SparkSession, dir: String,
       case None => hydrated0
     }
     val hydrated = regexFiltered
-      .withColumn("offset", verifyUdf($"chunk_text", lit(args.toArray), lit(partial)))
+      .withColumn("offset", verifyCol($"chunk_text", args, partial))
       .where($"offset" >= 0)
     val w = Window.partitionBy($"url").orderBy($"byte_start".asc, $"doc_id".asc)
     hydrated.withColumn("rn", row_number().over(w))
@@ -414,7 +417,7 @@ class Search(spark: SparkSession, dir: String,
     val perArg = args.zipWithIndex.map { case (a, i) =>
       val cands = candidates(Seq(a), partial)
       docs.join(cands, Seq("doc_id"))
-        .where(verifyUdf($"chunk_text", array(lit(a)), lit(partial)) >= 0)
+        .where(verifyCol($"chunk_text", Seq(a), partial) >= 0)
         .select($"url").distinct()
         .withColumn("arg_i", lit(i))
     }

@@ -74,6 +74,36 @@ class PlanSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("verify filter is a codegen'd native expression (no Scala UDF in the hot path)") {
+    // expression semantics == the engine verifier, including the suffix-resume
+    // quirk ("twotwo" whole-word-matches "two" at 3) and multi-arg AND
+    val cases = Seq(
+      ("the quick brown fox", Seq("quick"), false, 4),
+      ("the quick brown fox", Seq("quick", "fox"), false, 4),
+      ("the quick brown fox", Seq("quick", "absent"), false, -1),
+      ("twotwo", Seq("two"), false, 3),
+      ("Mixed CASE Words", Seq("case"), false, 6),
+      ("partial-only hit", Seq("artia"), true, 1),
+      ("partial-only hit", Seq("artia"), false, -1))
+    cases.foreach { case (chunk, args, partial, want) =>
+      assert(graft.functions.VerifyMatch.verify(chunk, args.toArray, partial) == want,
+        s"verify($chunk, $args, partial=$partial)")
+      assert(graft.core.Tokenizer.verifyAll(chunk, args, partial) == want,
+        s"engine verifier disagrees on ($chunk, $args)")
+    }
+    // and through the SQL engine: codegen + interpreted paths agree
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = cases.map(_._1).distinct.toDF("chunk_text")
+      .withColumn("off", graft.functions.VerifyMatch(col("chunk_text"), Seq("quick", "fox"), false))
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("the quick brown fox") == 4 && got("twotwo") == -1)
+    // the search plan must not contain a Scala UDF anywhere
+    val p = plan(search.search(Seq("the", "of")))
+    assert(!p.contains("UDF"), s"Scala UDF leaked into the search plan:\n${p.take(600)}")
+    assert(p.contains("verify_match"), "native verify expression missing from the plan")
+  }
+
   test("whole-stage codegen covers the relational ops pipeline") {
     val df = graft.ops.TextOps.termDf(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
