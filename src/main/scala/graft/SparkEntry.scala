@@ -215,7 +215,24 @@ object SparkEntry {
       Similarity.lshNearDupPairs(embTable(s, d), 400)),
     // ---- IVF ANN: probe nearest coarse clusters, exact re-rank inside
     "q37_ann_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(embTable(s, d), nQueries = 3, k = 5, nProbe = 3))
+      Similarity.ivfTopK(embTable(s, d), nQueries = 3, k = 5, nProbe = 3)),
+    // ---- multimodal decode plumbing: binary payloads -> batched decode;
+    // the engine PARSES the binary headers, the oracle re-derives the same
+    // values analytically from the generator formula — an end-to-end
+    // encode->decode roundtrip check (feature vectors stay spec-tested)
+    "q38_multimodal_features" -> ((s, _) =>
+      graft.ops.Multimodal.extractFeatures(
+          graft.ops.Multimodal.generate(s, 2000, partitions = 8)).toDF()
+        .select(col("media_id"), col("kind"), col("width").cast("long"),
+          col("height").cast("long"), col("n_frames").cast("long"),
+          col("bytes_len").cast("long"))
+        .orderBy("media_id")),
+    // ---- video frame-sampling plan (relational, no decode needed)
+    "q39_frame_plan" -> ((s, _) =>
+      graft.ops.Multimodal.sampleFramePlan(
+          graft.ops.Multimodal.generate(s, 2000, partitions = 8).toDF(), everyK = 3)
+        .select(col("media_id"), col("frame_idx").cast("long"))
+        .orderBy("media_id", "frame_idx"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -545,6 +562,21 @@ object SparkEntry {
             SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cos_permille DESC, neighbor_id) AS rn FROM scored)
           WHERE rn <= $topK ORDER BY query_id, rn"""
-    }
+    },
+    // engine parses these from the 16-byte binary header it decodes; the
+    // oracle re-derives them from the generator's closed form (StubCodec
+    // body = min(w*h, 4096) bytes after the header)
+    "q38_multimodal_features" ->
+      """SELECT i AS media_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           32 + (i % 7) * 16 AS width,
+           32 + (i % 5) * 16 AS height,
+           CASE WHEN i % 3 = 2 THEN 8 + i % 4 ELSE 1 END AS n_frames,
+           16 + least((32 + (i % 7) * 16) * (32 + (i % 5) * 16), 4096) AS bytes_len
+         FROM range(0, 2000) t(i) ORDER BY media_id""",
+    "q39_frame_plan" ->
+      """SELECT i AS media_id, f AS frame_idx
+         FROM range(0, 2000) t(i), unnest(range(0, 8 + i % 4, 3)) u(f)
+         WHERE i % 3 = 2 ORDER BY media_id, frame_idx"""
   )
 }
