@@ -311,45 +311,103 @@ object IndexBuild {
     // writer streams one bucket dir at a time.
     val segRows: Dataset[SegRow] =
       if (grams) {
-        docsT.select($"doc_id", explode($"grams").as("g"))
-          .select(pmod($"g", lit(cfg.nBuckets)).cast("int").as("bucket"),
-            $"g".as("gkey"),
-            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
-            $"doc_id")
-          .where($"bucket".isin(missing: _*))
-          .as[GramPosting]
-          .repartition(cfg.shufflePartitions, $"gkey", $"range_id")
-          .sortWithinPartitions($"bucket", $"gkey", $"range_id", $"doc_id")
+        // RANGE-TRANSPOSED gram build: ship ONE row per chunk
+        // (range_id, doc_id, grams[]) instead of exploding ~50-130
+        // (gram, doc) pairs per chunk — ~5x fewer shuffle bytes and a
+        // |chunks|-row sort instead of a |postings|-row sort. The kernel
+        // walks each range's chunks in doc-id order and appends to one
+        // SegmentBuilder per gram; per-task memory is BOUNDED at any corpus
+        // size because the gram space is capped (37^3 codes: ~2 KB idle
+        // builder state each) and a range's posting bytes are capped by
+        // rangeSize (the nRanges knob sizes kernels to executor memory).
+        // Works for the incremental delta append too (any doc-id range).
+        // Resume granularity note: a resumed gram stage re-shuffles all
+        // chunk rows and drops completed buckets' grams in the kernel —
+        // resume here trades a bucket-pruned shuffle for the 5x smaller one.
+        val missingSet = missing.toSet
+        val allBuckets = missingSet.size == cfg.nBuckets
+        val nBuckets = cfg.nBuckets
+        docsT.select(($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+            $"doc_id", $"grams")
+          .as[(Int, Long, Array[Int])]
+          .repartition(cfg.shufflePartitions, $"range_id")
+          .sortWithinPartitions($"range_id", $"doc_id")
           .mapPartitions { it =>
+            // per-gram accumulator within the open range
+            final class Acc(val sb: Postings.SegmentBuilder, val first: Long) {
+              var last: Long = first
+              var n: Long = 0L
+            }
             new Iterator[SegRow] {
-              private var pending: SegRow = null
-              private var cur: GramPosting = null
-              private def buildNext(): Unit = {
-                if (cur == null && it.hasNext) cur = it.next()
-                if (cur == null) { pending = null; return }
-                val (gkey, bucket, range) = (cur.gkey, cur.bucket, cur.range_id)
-                // membership-only layout: no tf/dl sections (the gram index
-                // never scores — candidates/fuzzy only need doc ids)
-                val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize,
-                  hasTfDl = false)
-                val first = cur.doc_id
-                var last = cur.doc_id
-                var n = 0L
-                var go = true
-                while (go) {
-                  sb.add(cur.doc_id, 1, 1L) // membership only: tf/dl unused
-                  last = cur.doc_id; n += 1
-                  cur = if (it.hasNext) it.next() else null
-                  go = cur != null && cur.gkey == gkey && cur.range_id == range
+              // rows arrive sorted by (range_id, doc_id): exactly one range
+              // is open at a time; its segments flush on the range break
+              // (flush materializes one range's rows — the same bytes the
+              // builders already hold, freed as the map clears)
+              private var curRange = Int.MinValue
+              private val open = new java.util.HashMap[Int, Acc]()
+              private var drain: Iterator[SegRow] = Iterator.empty
+
+              private def consumeRow(docId: Long, gs: Array[Int]): Unit = {
+                var i = 0
+                while (i < gs.length) {
+                  val g = gs(i)
+                  if (allBuckets || missingSet.contains(g % nBuckets)) {
+                    var acc = open.get(g)
+                    if (acc == null) {
+                      // membership-only layout: no tf/dl sections (the gram
+                      // index never scores — candidates/fuzzy need ids only)
+                      acc = new Acc(new Postings.SegmentBuilder(k1, b, avgdl,
+                        blockSize, hasTfDl = false), docId)
+                      open.put(g, acc)
+                    }
+                    acc.sb.add(docId, 1, 1L)
+                    acc.last = docId
+                    acc.n += 1
+                  }
+                  i += 1
                 }
-                val bytes = sb.result()
-                pending = SegRow(bucket, s"g$gkey", range, first, last, n, n,
-                  1, bytes.length, bytes)
               }
-              buildNext()
-              override def hasNext: Boolean = pending != null
+
+              private def flush(): Iterator[SegRow] = {
+                val range = curRange
+                val buf = new scala.collection.mutable.ArrayBuffer[SegRow](open.size)
+                val e = open.entrySet().iterator()
+                while (e.hasNext) {
+                  val ent = e.next()
+                  val g = ent.getKey
+                  val acc = ent.getValue
+                  val bytes = acc.sb.result()
+                  buf += SegRow(g % nBuckets, s"g$g", range, acc.first,
+                    acc.last, acc.n, acc.n, 1, bytes.length, bytes)
+                }
+                open.clear()
+                buf.iterator
+              }
+
+              @annotation.tailrec
+              private def fill(): Unit = {
+                if (drain.hasNext) return
+                if (!it.hasNext) {
+                  if (!open.isEmpty) drain = flush()
+                  return
+                }
+                val (range, docId, gs) = it.next()
+                if (range != curRange && !open.isEmpty) {
+                  drain = flush()
+                  curRange = range
+                  consumeRow(docId, gs)
+                  // drain is non-empty: emit the finished range now
+                } else {
+                  curRange = range
+                  consumeRow(docId, gs)
+                  fill()
+                }
+              }
+
+              override def hasNext: Boolean = { fill(); drain.hasNext }
               override def next(): SegRow = {
-                val r = pending; buildNext(); r
+                if (!hasNext) throw new NoSuchElementException
+                drain.next()
               }
             }
           }

@@ -50,11 +50,14 @@ object Postings {
                              blockSize: Int = DefaultBlockSize,
                              hasTfDl: Boolean = true) {
     require(blockSize > 0)
-    private val dir = new Varint.Writer(256)
-    private val payload = new Varint.Writer(1024)
+    // initial sizes are small: the gram-range build keeps up to |gram space|
+    // (37^3) builders live per kernel task, so idle-builder footprint matters
+    private val dir = new Varint.Writer(64)
+    private val payload = new Varint.Writer(64)
     private val blockDocs = new Array[Long](blockSize)
-    private val blockTfs = new Array[Int](blockSize)
-    private val blockDls = new Array[Long](blockSize)
+    // membership-only segments never touch tf/dl — skip the allocations
+    private val blockTfs = if (hasTfDl) new Array[Int](blockSize) else null
+    private val blockDls = if (hasTfDl) new Array[Long](blockSize) else null
     private var inBlock = 0
     private var nDocs = 0L
     private var nBlocks = 0L
@@ -63,8 +66,10 @@ object Postings {
     def add(docId: Long, tf: Int, dl: Long): Unit = {
       require(docId > lastDoc, s"doc ids must be strictly increasing: $docId after $lastDoc")
       blockDocs(inBlock) = docId
-      blockTfs(inBlock) = tf
-      blockDls(inBlock) = dl
+      if (hasTfDl) {
+        blockTfs(inBlock) = tf
+        blockDls(inBlock) = dl
+      }
       inBlock += 1
       nDocs += 1
       lastDoc = docId
