@@ -280,6 +280,22 @@ object IndexBuild {
     */
   final case class GramPosting(bucket: Int, gkey: Int, range_id: Int,
                                doc_id: Long)
+  /** One chunk's terms that hash to one bucket — the transposed-term-build
+    * shuffle row (doc_id/dl travel once per slice, not once per posting).
+    */
+  final case class TermSlice(bucket: Int, range_id: Int, doc_id: Long,
+                             dl: Long, terms: Array[TermFreq])
+
+  /** Bucket of a term — must match `pmod(xxhash64(term), nBuckets)` (seed
+    * 42, Spark's xxhash64 default) everywhere: build, query, maintenance.
+    */
+  private[graft] def termBucket(t: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+    math.floorMod(h, nBuckets.toLong).toInt
+  }
+
   final case class SegRow(bucket: Int, key: String, range_id: Int,
                           first_doc: Long, last_doc: Long, n_docs: Long,
                           sum_tf: Long, max_tf: Int, n_bytes: Int,
@@ -412,45 +428,114 @@ object IndexBuild {
             }
           }
       } else {
-        docsT.select($"doc_id", $"dl", explode($"terms").as("e"))
-          .select($"e.t".as("key"),
-            pmod(xxhash64($"e.t"), lit(cfg.nBuckets)).cast("int").as("bucket"),
-            ($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
-            $"doc_id", $"e.f".as("tf"), $"dl".cast("long").as("dl"))
-          .where($"bucket".isin(missing: _*))
-          .as[Posting]
-          .repartition(cfg.shufflePartitions, $"key", $"range_id")
-          .sortWithinPartitions($"bucket", $"key", $"range_id", $"doc_id")
-          .mapPartitions { it =>
-            new Iterator[SegRow] {
-              private var pending: SegRow = null
-              private var cur: Posting = null
-              private def buildNext(): Unit = {
-                if (cur == null && it.hasNext) cur = it.next()
-                if (cur == null) { pending = null; return }
-                val (key, bucket, range) = (cur.key, cur.bucket, cur.range_id)
-                val sb = new Postings.SegmentBuilder(k1, b, avgdl, blockSize)
-                val first = cur.doc_id
-                var last = cur.doc_id
-                var n = 0L
-                var sumTf = 0L
-                var maxTf = 0
-                var go = true
-                while (go) {
-                  sb.add(cur.doc_id, cur.tf, cur.dl)
-                  last = cur.doc_id; n += 1; sumTf += cur.tf
-                  if (cur.tf > maxTf) maxTf = cur.tf
-                  cur = if (it.hasNext) it.next() else null
-                  go = cur != null && cur.key == key && cur.range_id == range
+        // BUCKET+RANGE-TRANSPOSED term build (same idea as the gram branch):
+        // one row per (chunk, term-bucket) with that bucket's TermFreq slice
+        // — doc_id/dl shuffle once per bucket-slice instead of once per
+        // posting, and the sort is over slice rows, not postings. The
+        // kernel's live-builder state is bounded by distinct-terms-per-range
+        // / nBuckets (nBuckets is the memory knob at web scale: 100s of
+        // buckets keep the per-task term map small).
+        val missingSet = missing.toSet
+        val nBuckets = cfg.nBuckets
+        docsT.select(($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+            $"doc_id", $"dl".cast("long").as("dl"), $"terms")
+          .as[(Int, Long, Long, Array[TermFreq])]
+          .flatMap { case (range, docId, dl, tfs) =>
+            val byBucket = new java.util.HashMap[Int,
+              scala.collection.mutable.ArrayBuffer[TermFreq]]()
+            tfs.foreach { tf =>
+              val bkt = termBucket(tf.t, nBuckets)
+              if (missingSet.contains(bkt)) {
+                var buf = byBucket.get(bkt)
+                if (buf == null) {
+                  buf = new scala.collection.mutable.ArrayBuffer[TermFreq](8)
+                  byBucket.put(bkt, buf)
                 }
-                val bytes = sb.result()
-                pending = SegRow(bucket, key, range, first, last, n, sumTf, maxTf,
-                  bytes.length, bytes)
+                buf += tf
               }
-              buildNext()
-              override def hasNext: Boolean = pending != null
+            }
+            val out = new scala.collection.mutable.ArrayBuffer[TermSlice](byBucket.size)
+            val e = byBucket.entrySet().iterator()
+            while (e.hasNext) {
+              val ent = e.next()
+              out += TermSlice(ent.getKey, range, docId, dl, ent.getValue.toArray)
+            }
+            out
+          }
+          .repartition(cfg.shufflePartitions, $"bucket", $"range_id")
+          .sortWithinPartitions($"bucket", $"range_id", $"doc_id")
+          .mapPartitions { it =>
+            final class Acc(val sb: Postings.SegmentBuilder, val first: Long) {
+              var last: Long = first
+              var n: Long = 0L
+              var sumTf: Long = 0L
+              var maxTf: Int = 0
+            }
+            new Iterator[SegRow] {
+              // rows sorted by (bucket, range_id, doc_id): one (bucket,
+              // range) group open at a time, flushed on the break
+              private var curBucket = Int.MinValue
+              private var curRange = Int.MinValue
+              private val open = new java.util.HashMap[String, Acc]()
+              private var drain: Iterator[SegRow] = Iterator.empty
+
+              private def consumeRow(s: TermSlice): Unit = {
+                var i = 0
+                while (i < s.terms.length) {
+                  val tf = s.terms(i)
+                  var acc = open.get(tf.t)
+                  if (acc == null) {
+                    acc = new Acc(new Postings.SegmentBuilder(k1, b, avgdl,
+                      blockSize), s.doc_id)
+                    open.put(tf.t, acc)
+                  }
+                  acc.sb.add(s.doc_id, tf.f, s.dl)
+                  acc.last = s.doc_id
+                  acc.n += 1
+                  acc.sumTf += tf.f
+                  if (tf.f > acc.maxTf) acc.maxTf = tf.f
+                  i += 1
+                }
+              }
+
+              private def flush(): Iterator[SegRow] = {
+                val (bucket, range) = (curBucket, curRange)
+                val buf = new scala.collection.mutable.ArrayBuffer[SegRow](open.size)
+                val e = open.entrySet().iterator()
+                while (e.hasNext) {
+                  val ent = e.next()
+                  val acc = ent.getValue
+                  val bytes = acc.sb.result()
+                  buf += SegRow(bucket, ent.getKey, range, acc.first, acc.last,
+                    acc.n, acc.sumTf, acc.maxTf, bytes.length, bytes)
+                }
+                open.clear()
+                buf.iterator
+              }
+
+              @annotation.tailrec
+              private def fill(): Unit = {
+                if (drain.hasNext) return
+                if (!it.hasNext) {
+                  if (!open.isEmpty) drain = flush()
+                  return
+                }
+                val s = it.next()
+                if ((s.bucket != curBucket || s.range_id != curRange) && !open.isEmpty) {
+                  drain = flush()
+                  curBucket = s.bucket; curRange = s.range_id
+                  consumeRow(s)
+                } else {
+                  curBucket = s.bucket; curRange = s.range_id
+                  consumeRow(s)
+                  fill()
+                }
+              }
+
+              override def hasNext: Boolean = { fill(); drain.hasNext }
               override def next(): SegRow = {
-                val r = pending; buildNext(); r
+                if (!hasNext) throw new NoSuchElementException
+                drain.next()
               }
             }
           }
