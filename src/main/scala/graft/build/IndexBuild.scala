@@ -156,19 +156,23 @@ object IndexBuild {
       chunkDoc(url, ts, lang, part, text, cfg.chunkMode)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    chunked.write.mode("overwrite").partitionBy("docpart").parquet(chunksDir(dir))
+    // the stage watermark rides along with the write (Observation) — a
+    // separate max(warc_ts) pass over the fresh chunk store would re-scan
+    // the corpus's timestamp column serially after the parallel work
+    val obs = org.apache.spark.sql.Observation()
+    chunked.toDF().observe(obs, max($"warc_ts").cast("string").as("wm"))
+      .write.mode("overwrite").partitionBy("docpart").parquet(chunksDir(dir))
+    val wm = Option(obs.get("wm")).map(_.toString).getOrElse("")
     val wallMs = (System.nanoTime() - t0) / 1000000
-    // per-unit metrics without re-reading data: row counts come from
-    // parquet footers (count over partition column only), bytes from the
-    // filesystem listing of each partition dir
+    // per-unit row counts: count over the partition column only — parquet
+    // footer metadata, no data pages read
     val stats = spark.read.parquet(chunksDir(dir))
       .where(col("docpart").isin(missing: _*))
-      .groupBy("docpart")
-      .agg(count(lit(1)).as("rows"), max($"warc_ts").cast("string").as("wm"))
+      .groupBy("docpart").agg(count(lit(1)).as("rows"))
       .collect()
-    val byPart = stats.map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+    val byPart = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
     missing.foreach { p =>
-      val (rows, wm) = byPart.getOrElse(p, (0L, ""))
+      val rows = byPart.getOrElse(p, 0L)
       val bytes = dirBytes(s"${chunksDir(dir)}/docpart=$p")
       Manifest.append(dir, Manifest.Entry("chunks", p.toString, rows, bytes,
         wm, wallMs / missing.size))
