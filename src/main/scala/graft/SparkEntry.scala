@@ -21,7 +21,7 @@ import graft.query.Search
 object SparkEntry {
 
   // bump when the on-disk index format changes (invalidates temp indexes)
-  private final val IndexFormatVersion = 6
+  private final val IndexFormatVersion = 8
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def docsTable(spark: SparkSession, dir: String): DataFrame =

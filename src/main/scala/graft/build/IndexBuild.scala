@@ -73,11 +73,18 @@ object IndexBuild {
 
   final case class TermFreq(t: String, f: Int)
 
+  /** `explicit_grams` is null for tokenizer-derived chunks (their grams are
+    * deterministic functions of the text, never stored past the build) and
+    * set for caller-supplied-gram chunks (the reference `chunk` command,
+    * [[graft.maint.Maintenance.addChunk]]) — those grams are data, so they
+    * persist in the docs store and survive compaction.
+    */
   final case class ChunkRow(
     url: String, warc_ts: Timestamp, lang: String, docpart: Int,
     chunk_seq: Int, line: Int, rune_off: Long, rune_len: Long,
     byte_start: Long, byte_len: Long, dl: Int, n_grams: Int,
-    chunk_text: String, terms: Array[TermFreq], grams: Array[Int])
+    chunk_text: String, terms: Array[TermFreq], grams: Array[Int],
+    explicit_grams: Array[Int] = null)
 
   /** Engine stats + build params. `nextDocId` is the monotone id
     * high-water mark (reference nextOID, fts-lmdb.go:855-867): incremental
@@ -97,6 +104,7 @@ object IndexBuild {
 
   def chunksDir(dir: String) = s"$dir/chunks"
   def docsDir(dir: String) = s"$dir/docs"
+  def urlBasesDir(dir: String) = s"$dir/url_bases"
   def termPostingsDir(dir: String) = s"$dir/postings_terms"
   def gramPostingsDir(dir: String) = s"$dir/postings_grams"
   def dictDir(dir: String) = s"$dir/dictionary"
@@ -129,8 +137,31 @@ object IndexBuild {
     val resumedTerm = stagePostings(spark, dir, cfg, stats, grams = false)
     stagePostings(spark, dir, cfg, stats, grams = true)
     stageDictionary(spark, dir)
+    stageCleanup(spark, dir)
     BuildStats(stats.nDocs, cfg.docParts, cfg.nBuckets, cfg.nBuckets,
       resumedChunks, resumedTerm)
+  }
+
+  /** Final stage — drop the build scratch (tokenized chunk store +
+    * url->base map). The docs store keeps chunk metadata + text (same rows,
+    * docpart-partitioned, with doc_id); the token arrays are re-derivable
+    * from the text deterministically, so storing them past the build would
+    * only double the corpus footprint — the reference's index is ~2x raw
+    * text (README.org:2-4) and ours meets that only without duplicates.
+    * Resume is unaffected: scratch exists for the whole build and is
+    * deleted only after every stage committed; maintenance diffs,
+    * compaction and hydration all read the docs store (post-cleanup posting
+    * rebuilds re-tokenize from chunk text — identical by construction).
+    */
+  private def stageCleanup(spark: SparkSession, dir: String): Unit = {
+    if (Manifest.completed(dir, "cleanup")("all")) return
+    val t0 = System.nanoTime()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(chunksDir(dir)))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(urlBasesDir(dir)))
+    Manifest.append(dir, Manifest.Entry("cleanup", "all", 0L, 0L, "",
+      (System.nanoTime() - t0) / 1000000))
   }
 
   /** Stage 1 — chunk + tokenize, partitioned by docpart = hash(url).
@@ -209,6 +240,12 @@ object IndexBuild {
     */
   private[graft] def assignIds(spark: SparkSession, chunks: DataFrame,
                                base: Long, cfg: Config): (DataFrame, () => Unit) = {
+    val (withIds, _, cleanup) = assignIdsWithBases(spark, chunks, base, cfg)
+    (withIds, cleanup)
+  }
+
+  private[graft] def assignIdsWithBases(spark: SparkSession, chunks: DataFrame,
+                                        base: Long, cfg: Config): (DataFrame, DataFrame, () => Unit) = {
     import spark.implicits._
     val perUrl = chunks.groupBy($"url").agg(count(lit(1)).as("cnt"))
       .repartitionByRange(cfg.shufflePartitions, $"url")
@@ -235,15 +272,16 @@ object IndexBuild {
     // shared hash(url) bucketing in production)
     val baseSide = if (nUrls <= cfg.broadcastUrlLimit) broadcast(urlBase) else urlBase
     // map-only id stamp: no shuffle of chunk rows (below the gate).
-    // In-partition sort by (url, chunk_seq) makes doc_id ascending within
-    // each output file, so parquet row-group min/max stats prune doc_id
-    // point lookups.
+    // In-partition sort leads with docpart (so the partitioned docs write
+    // needs no extra sort of its own) then (url, chunk_seq): doc_id is
+    // ascending within each output file — parquet row-group min/max stats
+    // prune doc_id point lookups.
     val withIds = chunks
-      .sortWithinPartitions($"url", $"chunk_seq")
+      .sortWithinPartitions($"docpart", $"url", $"chunk_seq")
       .join(baseSide, Seq("url"))
       .withColumn("doc_id", $"base" + $"chunk_seq")
       .drop("base")
-    (withIds, () => { perUrl.unpersist(blocking = false); () })
+    (withIds, urlBase, () => { perUrl.unpersist(blocking = false); () })
   }
 
   private def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
@@ -251,13 +289,22 @@ object IndexBuild {
     if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
     val t0 = System.nanoTime()
     val chunks = spark.read.parquet(chunksDir(dir))
-    val (withIds, cleanup) = assignIds(spark, chunks, 0L, cfg)
-    // doc stats ride along with the write (Observation): no extra pass
+    val (withIds, urlBase, cleanup) = assignIdsWithBases(spark, chunks, 0L, cfg)
+    // persist the tiny url->base map FIRST: the posting stages join it back
+    // onto the chunk scratch to stamp doc ids, so the heavy token arrays
+    // never have to be stored twice (they live only in the scratch; the
+    // docs store keeps metadata + chunk text)
+    urlBase.write.mode("overwrite").parquet(urlBasesDir(dir))
+    // doc stats ride along with the write (Observation): no extra pass.
+    // docpart partitioning makes the docs store the maintenance diff
+    // source (partition-pruned changelog updates) — the chunk scratch is
+    // dropped after the build (stageCleanup).
     val obs = org.apache.spark.sql.Observation()
-    withIds.observe(obs, count(lit(1)).as("n"),
+    withIds.drop("terms", "grams")
+      .observe(obs, count(lit(1)).as("n"),
         sum($"dl".cast("long")).as("sum_dl"),
         max($"warc_ts").cast("string").as("wm"))
-      .write.mode("overwrite").parquet(docsDir(dir))
+      .write.mode("overwrite").partitionBy("docpart").parquet(docsDir(dir))
     cleanup()
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
@@ -557,8 +604,41 @@ object IndexBuild {
     val missing = (0 until cfg.nBuckets).filterNot(b => done(b.toString))
     if (missing.isEmpty) return cfg.nBuckets
     val t0 = System.nanoTime()
-    val docsT = spark.read.parquet(docsDir(dir))
-      .select($"doc_id", $"dl", if (grams) $"grams" else $"terms")
+    // Normal path: token arrays come from the chunk scratch, doc ids from
+    // the persisted url->base map (broadcast below the gate; at 10^12 docs
+    // the same join runs storage-partitioned on the shared hash(url)
+    // bucketing). Fallback (scratch already dropped by stageCleanup, e.g. a
+    // bucket invalidated on a finished index): re-derive the arrays from
+    // the docs store's chunk text — tokenization is deterministic, so the
+    // rebuilt segments are identical.
+    val docsT: DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(chunksDir(dir)))) {
+        val bases = spark.read.parquet(urlBasesDir(dir))
+        val nUrls = bases.count() // parquet footer count
+        val baseSide = if (nUrls <= cfg.broadcastUrlLimit) broadcast(bases) else bases
+        spark.read.parquet(chunksDir(dir))
+          .join(baseSide, Seq("url"))
+          .select(($"base" + $"chunk_seq").as("doc_id"), $"dl",
+            if (grams) $"grams" else $"terms")
+      } else {
+        val mode = cfg.chunkMode
+        if (grams)
+          spark.read.parquet(docsDir(dir))
+            .select($"doc_id", $"dl", $"chunk_text", $"explicit_grams")
+            .as[(Long, Int, String, Array[Int])]
+            .map { case (id, dl, text, eg) =>
+              (id, dl,
+                if (eg != null) eg
+                else Gram.gramsSorted(partial = false, Seq(text)))
+            }.toDF("doc_id", "dl", "grams")
+        else
+          spark.read.parquet(docsDir(dir))
+            .select($"doc_id", $"dl", $"chunk_text")
+            .as[(Long, Int, String)]
+            .map { case (id, dl, text) =>
+              (id, dl, Tokenizer.termFreqs(text).map { case (t, f) => TermFreq(t, f) })
+            }.toDF("doc_id", "dl", "terms")
+      }
     val segRows = buildSegRows(spark, docsT, cfg, stats, grams, missing)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segRows.write.mode("overwrite").partitionBy("bucket").parquet(outDir)

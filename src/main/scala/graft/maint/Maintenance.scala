@@ -40,9 +40,12 @@ object Maintenance {
   private def tombstonesDir(dir: String) = s"$dir/tombstones"
   private def emptyGroupsDir(dir: String) = s"$dir/empty_groups"
 
-  /** Stage names appended by update(); invalidated on compact. */
+  /** Stage names appended by update(); invalidated on compact. upd_docs is
+    * LAST: the docs store is the diff source, so appending it commits the
+    * whole update (a re-run after that is a no-op).
+    */
   private val UpdateStages = Seq("upd_stats", "upd_postings_terms",
-    "upd_postings_grams", "upd_docs", "upd_dict", "upd_chunks")
+    "upd_postings_grams", "upd_dict", "upd_docs")
 
   /** Tombstone rows (url, warc_ts, doc_id): one row per doc of every stale
     * VERSION of a group. Doc ids are recorded at tombstone time so queries
@@ -115,24 +118,47 @@ object Maintenance {
     else Seq.empty[String].toDF("url")
   }
 
-  /** M2: reclaim space — rewrite the chunk store without tombstoned
-    * (url, warc_ts) versions, then rebuild ids/postings/dictionary via the
-    * normal build stages (ids re-densify, stats refresh).
+  /** M2: reclaim space — rewrite the corpus without tombstoned
+    * (url, warc_ts) versions (docs store minus doc_id, back into the
+    * build's chunk-scratch layout), then rebuild ids/postings/dictionary
+    * via the normal build stages (ids re-densify, stats refresh, scratch
+    * dropped again at the end).
     */
   def compact(spark: SparkSession, dir: String, cfg: IndexBuild.Config): Unit = {
+    import spark.implicits._
     val t = tombstones(spark, dir)
     if (t.isEmpty) return
-    val chunks = spark.read.parquet(IndexBuild.chunksDir(dir))
-    val kept = chunks.join(t.select("url", "warc_ts").distinct(),
-      Seq("url", "warc_ts"), "left_anti")
+    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+    // re-derive the token arrays (the docs store keeps none — they are
+    // deterministic functions of the chunk text) to rebuild the chunk
+    // scratch the derived stages consume
+    val kept = docs.join(t.select("url", "warc_ts").distinct(),
+        Seq("url", "warc_ts"), "left_anti")
+      .select($"url", $"warc_ts", $"lang", $"docpart", $"chunk_seq", $"line",
+        $"rune_off", $"rune_len", $"byte_start", $"byte_len", $"dl",
+        $"n_grams", $"chunk_text", $"explicit_grams")
+      .as[(String, java.sql.Timestamp, String, Int, Int, Int, Long, Long,
+        Long, Long, Int, Int, String, Array[Int])]
+      .map { case (url, ts, lang, part, seq, line, ro, rl, bs, bl, dl, ng,
+                   text, eg) =>
+        val tfs = graft.core.Tokenizer.termFreqs(text)
+          .map { case (tt, f) => IndexBuild.TermFreq(tt, f) }
+        // explicit grams are data (reference chunk cmd) — never re-derived
+        val gs = if (eg != null) eg
+                 else graft.core.Gram.gramsSorted(partial = false, Seq(text))
+        IndexBuild.ChunkRow(url, ts, lang, part, seq, line, ro, rl, bs, bl,
+          dl, ng, text, tfs, gs, eg)
+      }
     val tmp = s"$dir/chunks_compacting"
-    kept.write.mode("overwrite").partitionBy("docpart").parquet(tmp)
+    kept.toDF().write.mode("overwrite").partitionBy("docpart").parquet(tmp)
     // atomic-ish swap (Iceberg snapshot replace in production)
     val fs = java.nio.file.Paths.get(dir)
-    org.apache.commons.io.FileUtils.deleteDirectory(fs.resolve("chunks").toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("chunks").toFile)
     java.nio.file.Files.move(fs.resolve("chunks_compacting"), fs.resolve("chunks"))
     org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
-    (Seq("ids", "postings_terms", "postings_grams", "dictionary") ++ UpdateStages)
+    org.apache.commons.io.FileUtils.deleteDirectory(fs.resolve("docs").toFile)
+    (Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup")
+      ++ UpdateStages)
       .foreach(Manifest.invalidateStage(dir, _))
     rebuildDerived(spark, dir, cfg)
   }
@@ -161,13 +187,13 @@ object Maintenance {
       .withColumn("n_part", pmod(xxhash64($"url"), lit(cfg.docParts)).cast("int"))
       .select($"url".as("n_url"), $"warc_ts".as("n_ts"), $"n_part")
     val tomb = tombstones(spark, dir).select($"url", $"warc_ts").distinct()
-    val chunkVersions0 = spark.read.parquet(IndexBuild.chunksDir(dir))
+    val chunkVersions0 = spark.read.parquet(IndexBuild.docsDir(dir))
       .select($"url", $"warc_ts", $"docpart")
     val chunkVersions =
       if (!partialSnapshot) chunkVersions0
       else {
         // changelog batch: only the batch's docparts can contain its urls —
-        // prune the chunk-store scan to those partitions (O(dirty parts))
+        // prune the docs-store scan to those partitions (O(dirty parts))
         val parts = incoming.select($"n_part").distinct().as[Int].collect()
         chunkVersions0.where($"docpart".isin(parts.toSeq: _*))
       }
@@ -275,26 +301,21 @@ object Maintenance {
         .parquet(IndexBuild.gramPostingsDir(dir))
       nDeltaChunks
     }
-    guarded("upd_docs") {
-      // align column order with the existing docs-store schema
-      val cols = spark.read.parquet(IndexBuild.docsDir(dir)).schema.fieldNames
-      withIds.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode("append").parquet(IndexBuild.docsDir(dir))
-      nDeltaChunks
-    }
-    cleanup()
-
     // 5. merge dictionaries: delta segment metadata (first_doc >= base
     //    prunes to appended rows) summed into the old dictionaries
     guarded("upd_dict") { mergeDictionaries(spark, dir, base); 0L }
 
-    // 6. LAST: append the delta to the chunk store — this flips the diff
-    //    source, so completing it makes the whole update a no-op on re-run
-    guarded("upd_chunks") {
-      deltaChunks.write.mode("append").partitionBy("docpart")
-        .parquet(IndexBuild.chunksDir(dir))
+    // 6. LAST: append the delta to the docs store — the diff source — so
+    //    completing it makes the whole update a no-op on re-run
+    guarded("upd_docs") {
+      // align column order with the existing docs-store schema
+      val cols = spark.read.parquet(IndexBuild.docsDir(dir)).schema.fieldNames
+      withIds.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("append").partitionBy("docpart")
+        .parquet(IndexBuild.docsDir(dir))
       nDeltaChunks
     }
+    cleanup()
     deltaChunks.unpersist()
     (nNew, nChanged, nDeleted)
   }
@@ -331,7 +352,7 @@ object Maintenance {
     val byteLen = data.getBytes("UTF-8").length.toLong
     val row = IndexBuild.ChunkRow(url, warcTs, "", part, nextSeq, nextSeq + 1,
       0L, data.codePointCount(0, data.length).toLong, 0L, byteLen, dl,
-      gs.length, data, tfs, gs)
+      gs.length, data, tfs, gs, explicit_grams = gs)
     val delta = Seq(row).toDS().toDF()
     val withId = delta.withColumn("doc_id", lit(docId))
     // reserve the id first (same crash discipline as update)
@@ -346,12 +367,12 @@ object Maintenance {
         cfg, stats0, grams = true, allBuckets)
       .write.mode("append").partitionBy("bucket")
       .parquet(IndexBuild.gramPostingsDir(dir))
+    mergeDictionaries(spark, dir, docId)
+    // LAST: the docs store is the diff/live view — append commits the chunk
     val cols = spark.read.parquet(IndexBuild.docsDir(dir)).schema.fieldNames
     withId.select(cols.map(col).toIndexedSeq: _*)
-      .write.mode("append").parquet(IndexBuild.docsDir(dir))
-    delta.write.mode("append").partitionBy("docpart")
-      .parquet(IndexBuild.chunksDir(dir))
-    mergeDictionaries(spark, dir, docId)
+      .write.mode("append").partitionBy("docpart")
+      .parquet(IndexBuild.docsDir(dir))
     docId
   }
 

@@ -196,13 +196,15 @@ class Search(spark: SparkSession, dir: String,
     val idfs = present.map(t => t -> Wand.idf(n, dict(t))).toMap
     val (k1, b, avgdl) = (stats.k1, stats.b, stats.avgdl)
     val termsB = present.toArray // lex-sorted
-    // same live view as the WAND kernels (size-gated via liveFilter)
+    // same live view as the WAND kernels (size-gated via liveFilter).
+    // Term freqs are re-derived from the chunk text (the docs store keeps
+    // no token arrays) — deterministic, identical to the indexed postings.
     val rows = liveFilter(spark.read.parquet(IndexBuild.docsDir(dir))
-        .select($"doc_id", $"dl", $"terms"))
-      .as[(Long, Int, Array[IndexBuild.TermFreq])]
-      .flatMap { case (docId, dl, tfs) =>
+        .select($"doc_id", $"dl", $"chunk_text"))
+      .as[(Long, Int, String)]
+      .flatMap { case (docId, dl, text) =>
         {
-        val m = tfs.map(tf => tf.t -> tf.f).toMap
+        val m = Tokenizer.termFreqs(text).toMap
         if (conjunctive && !termsB.forall(m.contains)) Iterator.empty
         else {
           var s = 0.0

@@ -62,7 +62,7 @@ class MaintenanceSpec extends SparkSuite {
         .filter(f => f.toString.endsWith(".parquet"))
         .map(f => f.toString -> (Files.getLastModifiedTime(f).toMillis, Files.size(f)))
         .toMap
-    val before = Seq("chunks", "postings_terms", "postings_grams", "docs")
+    val before = Seq("postings_terms", "postings_grams", "docs")
       .map(s => s -> snapshotFiles(s)).toMap
     val statsBefore = IndexBuild.readDocStats(dir)
 
@@ -238,7 +238,7 @@ class MaintenanceSpec extends SparkSuite {
       .union(WebCorpus.generate(spark, 3, seed = 99L, partitions = 1)
         .withColumn("url", concat(lit("https://new.example/x"), monotonically_increasing_id())))
 
-    val chunkFiles = Files.walk(Paths.get(dir, "chunks")).iterator().asScala
+    val chunkFiles = Files.walk(Paths.get(dir, "docs")).iterator().asScala
       .filter(f => f.toString.endsWith(".parquet")).toSeq
     val mtimesBefore = chunkFiles.map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
 

@@ -52,7 +52,8 @@ class PlanSpec extends SparkSuite {
 
   test("doc-id base join broadcast is size-gated (no broadcast above the url limit)") {
     import org.apache.spark.sql.functions._
-    val chunks = spark.read.parquet(IndexBuild.chunksDir(dir))
+    // chunk-shaped input: the docs store minus doc_id (scratch is dropped)
+    val chunks = spark.read.parquet(IndexBuild.docsDir(dir)).drop("doc_id")
     def idPlan(limit: Long): org.apache.spark.sql.DataFrame = {
       val (withIds, cleanup) = IndexBuild.assignIds(spark, chunks, 0L,
         IndexBuild.Config(shufflePartitions = 4, broadcastUrlLimit = limit))

@@ -39,7 +39,11 @@ class ResumeSpec extends SparkSuite {
     val q = Seq("the", "of")
     val baseline = new Search(spark, dir).bm25TopK(q, 20, conjunctive = false)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val chunksBefore = fileMTimes(IndexBuild.chunksDir(dir))
+    // the chunk scratch is dropped after a complete build; the docs store
+    // carries the tokenized corpus — untouched docs == no re-tokenization
+    assert(fileMTimes(IndexBuild.chunksDir(dir)).isEmpty)
+    val docsBefore = fileMTimes(IndexBuild.docsDir(dir))
+    assert(docsBefore.nonEmpty)
 
     // simulate a killed job: bucket 2 of postings_terms never completed
     val manifest = Paths.get(dir, "manifest.jsonl")
@@ -54,8 +58,8 @@ class ResumeSpec extends SparkSuite {
       .filter(!_._1.contains("bucket=2"))
     IndexBuild.build(spark, docs, dir, cfg)
 
-    // chunk stage untouched -> no re-tokenization
-    assert(fileMTimes(IndexBuild.chunksDir(dir)) == chunksBefore)
+    // docs store untouched -> no re-tokenization
+    assert(fileMTimes(IndexBuild.docsDir(dir)) == docsBefore)
     // other postings buckets untouched
     val after = fileMTimes(IndexBuild.termPostingsDir(dir))
       .filter(!_._1.contains("bucket=2"))

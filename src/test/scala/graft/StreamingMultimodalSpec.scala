@@ -47,7 +47,7 @@ class StreamingMultimodalSpec extends SparkSuite {
       // file stays untouched (no corpus reconstruction, no rewrite)
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      val before = Files.walk(Paths.get(dir, "chunks")).iterator().asScala
+      val before = Files.walk(Paths.get(dir, "docs")).iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
         .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
       mem.addData(WebCorpus.makeDoc(3, 7L).copy(text = "iota kappa lambda\n"))
