@@ -104,7 +104,6 @@ object IndexBuild {
 
   def chunksDir(dir: String) = s"$dir/chunks"
   def docsDir(dir: String) = s"$dir/docs"
-  def urlBasesDir(dir: String) = s"$dir/url_bases"
   def termPostingsDir(dir: String) = s"$dir/postings_terms"
   def gramPostingsDir(dir: String) = s"$dir/postings_grams"
   def dictDir(dir: String) = s"$dir/dictionary"
@@ -129,37 +128,68 @@ object IndexBuild {
     }
   }
 
+  /** Chunk-store row WITHOUT token arrays — the build scratch / docs-store
+    * schema (minus doc_id). Terms and grams are deterministic functions of
+    * `chunk_text`, re-derived where consumed (posting stages); serializing
+    * them would double the scratch footprint and force the posting stages
+    * through a scratch⋈url-base join instead of the id-stamped docs store.
+    */
+  final case class ChunkMeta(
+    url: String, warc_ts: Timestamp, lang: String, docpart: Int,
+    chunk_seq: Int, line: Int, rune_off: Long, rune_len: Long,
+    byte_start: Long, byte_len: Long, dl: Int, n_grams: Int,
+    chunk_text: String, explicit_grams: Array[Int] = null)
+
+  /** Chunk one document for the build scratch: dl/n_grams are computed
+    * (tokenization runs) but the arrays are not carried — `docLength`
+    * skips `termFreqs`' sort entirely.
+    */
+  def chunkDocMeta(url: String, warcTs: Timestamp, lang: String, docpart: Int,
+                   text: String, chunkMode: String): Seq[ChunkMeta] = {
+    val chunks = chunkMode match {
+      case ChunkMode.Lines => Chunker.linesLenient(text)
+      case ChunkMode.Org => graft.core.OrgChunker.chunks(text)
+      case _ => IndexedSeq(graft.core.Chunk(1, 0L,
+        text.codePointCount(0, text.length).toLong,
+        0L, text.getBytes("UTF-8").length.toLong, text))
+    }
+    chunks.zipWithIndex.map { case (c, seq) =>
+      ChunkMeta(url, warcTs, lang, docpart, seq, c.line, c.runeOff, c.runeLen,
+        c.byteStart, c.byteLen, Tokenizer.docLength(c.text),
+        Gram.gramsSorted(partial = false, Seq(c.text)).length, c.text)
+    }
+  }
+
   def build(spark: SparkSession, docs: DataFrame, dir: String,
             cfg: Config = Config()): BuildStats = {
     spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes.toString)
     val resumedChunks = stageChunks(spark, docs, dir, cfg)
     val stats = stageIds(spark, dir, cfg)
+    // the scratch is consumed the moment the id-stamped docs store commits
+    // — dropping it HERE (not at the end) halves the build's peak storage;
+    // the posting stages read the docs store (doc ids already stamped, no
+    // url-base join) and re-derive token arrays from chunk text
+    stageCleanup(spark, dir)
     val resumedTerm = stagePostings(spark, dir, cfg, stats, grams = false)
     stagePostings(spark, dir, cfg, stats, grams = true)
     stageDictionary(spark, dir)
-    stageCleanup(spark, dir)
     BuildStats(stats.nDocs, cfg.docParts, cfg.nBuckets, cfg.nBuckets,
       resumedChunks, resumedTerm)
   }
 
-  /** Final stage — drop the build scratch (tokenized chunk store +
-    * url->base map). The docs store keeps chunk metadata + text (same rows,
-    * docpart-partitioned, with doc_id); the token arrays are re-derivable
-    * from the text deterministically, so storing them past the build would
-    * only double the corpus footprint — the reference's index is ~2x raw
-    * text (README.org:2-4) and ours meets that only without duplicates.
-    * Resume is unaffected: scratch exists for the whole build and is
-    * deleted only after every stage committed; maintenance diffs,
-    * compaction and hydration all read the docs store (post-cleanup posting
-    * rebuilds re-tokenize from chunk text — identical by construction).
+  /** Drop the build scratch (pre-id chunk store) once the docs store has
+    * committed. The docs store keeps the same rows (chunk metadata + text,
+    * docpart-partitioned) plus doc_id; token arrays are deterministic
+    * functions of the text and are never stored at all — the reference's
+    * index is ~2x raw text (README.org:2-4) and ours meets that only
+    * without duplicate copies of the corpus. Resume is unaffected: every
+    * stage after `ids` reads the docs store.
     */
   private def stageCleanup(spark: SparkSession, dir: String): Unit = {
     if (Manifest.completed(dir, "cleanup")("all")) return
     val t0 = System.nanoTime()
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(chunksDir(dir)))
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(urlBasesDir(dir)))
     Manifest.append(dir, Manifest.Entry("cleanup", "all", 0L, 0L, "",
       (System.nanoTime() - t0) / 1000000))
   }
@@ -167,7 +197,7 @@ object IndexBuild {
   /** Stage 1 — chunk + tokenize, partitioned by docpart = hash(url).
     * Resume unit: docpart. Completed parts are never re-read/re-tokenized.
     */
-  private def stageChunks(spark: SparkSession, docs: DataFrame, dir: String,
+  private[graft] def stageChunks(spark: SparkSession, docs: DataFrame, dir: String,
                           cfg: Config): Int = {
     import spark.implicits._
     val done = Manifest.completed(dir, "chunks")
@@ -184,7 +214,7 @@ object IndexBuild {
     // build). Each scan task writes to the docpart dirs it encounters —
     // more, smaller files, which Iceberg/bin-packing compacts in production.
     val chunked = src.flatMap { case (url, ts, lang, text, part) =>
-      chunkDoc(url, ts, lang, part, text, cfg.chunkMode)
+      chunkDocMeta(url, ts, lang, part, text, cfg.chunkMode)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the stage watermark rides along with the write (Observation) — a
@@ -224,12 +254,13 @@ object IndexBuild {
     * partition count (reference analog: monotone OID allocation,
     * fts-lmdb.go:855-867, made reproducible per SURVEY §2.6 M6).
     *
-    * Only the tiny (url, count) pairs shuffle; the heavy chunk rows (text,
-    * term/gram arrays) are id-stamped map-side and written straight back
-    * out — at the 10^12-doc target the docs write is embarrassingly
-    * parallel. In the sandbox the url->base side broadcasts; at scale the
-    * same join runs as an Iceberg storage-partitioned join on docpart (both
-    * sides are bucketed by hash(url)) with no big-side shuffle either.
+    * Below the broadcast gate only the tiny (url, count) pairs shuffle;
+    * the heavy chunk rows (text) are id-stamped map-side and written
+    * straight back out — at the 10^12-doc target the docs write is
+    * embarrassingly parallel. Above the gate see the shuffle-hash note in
+    * [[assignIds]]; in production the same join runs as an Iceberg
+    * storage-partitioned join on the shared hash(url) bucketing with no
+    * big-side shuffle either.
     */
   /** Stamp dense, deterministic doc ids `base + rank(url, chunk_seq)` onto
     * chunk rows via a distributed prefix sum: only tiny (url, count) pairs
@@ -240,13 +271,11 @@ object IndexBuild {
     */
   private[graft] def assignIds(spark: SparkSession, chunks: DataFrame,
                                base: Long, cfg: Config): (DataFrame, () => Unit) = {
-    val (withIds, _, cleanup) = assignIdsWithBases(spark, chunks, base, cfg)
-    (withIds, cleanup)
-  }
-
-  private[graft] def assignIdsWithBases(spark: SparkSession, chunks: DataFrame,
-                                        base: Long, cfg: Config): (DataFrame, DataFrame, () => Unit) = {
     import spark.implicits._
+    // NOTE: repartitionByRange's sampling pass evaluates the aggregate
+    // twice; persisting it first was measured SLOWER (cache
+    // materialization of the (url,cnt) rows costs more than the repeated
+    // url-column scan, which parquet column pruning keeps tiny)
     val perUrl = chunks.groupBy($"url").agg(count(lit(1)).as("cnt"))
       .repartitionByRange(cfg.shufflePartitions, $"url")
       .sortWithinPartitions($"url")
@@ -268,39 +297,46 @@ object IndexBuild {
     }).toDF("url", "base")
     // size-gated broadcast: one row per url — billions at the 10^12-doc
     // target, where a broadcast would OOM; above the gate the join runs as
-    // a co-partitioned shuffle join (Iceberg storage-partitioned on the
-    // shared hash(url) bucketing in production)
-    val baseSide = if (nUrls <= cfg.broadcastUrlLimit) broadcast(urlBase) else urlBase
-    // map-only id stamp: no shuffle of chunk rows (below the gate).
-    // In-partition sort leads with docpart (so the partitioned docs write
-    // needs no extra sort of its own) then (url, chunk_seq): doc_id is
-    // ascending within each output file — parquet row-group min/max stats
-    // prune doc_id point lookups.
-    val withIds = chunks
-      .sortWithinPartitions($"docpart", $"url", $"chunk_seq")
-      .join(baseSide, Seq("url"))
-      .withColumn("doc_id", $"base" + $"chunk_seq")
-      .drop("base")
-    (withIds, urlBase, () => { perUrl.unpersist(blocking = false); () })
+    // a SHUFFLE-HASH join (hash map built from the tiny url->base side
+    // only; the heavy chunk rows shuffle but are never sorted for the
+    // join — a sort-merge join would sort gigabytes of chunk text by url
+    // just to discard that order at the write). In production the same
+    // join runs storage-partitioned on the shared hash(url) bucketing
+    // with no big-side shuffle at all.
+    //
+    // Either way the rows reach the writer sorted by (docpart, url,
+    // chunk_seq): docpart leads so the partitioned docs write needs no
+    // extra sort of its own, and url-order implies doc_id-ascending
+    // output files (base is allocated in url rank order) — parquet
+    // row-group min/max stats prune doc_id point lookups.
+    val withIds =
+      if (nUrls <= cfg.broadcastUrlLimit)
+        chunks // map-only id stamp: chunk rows never shuffle
+          .sortWithinPartitions($"docpart", $"url", $"chunk_seq")
+          .join(broadcast(urlBase), Seq("url"))
+          .withColumn("doc_id", $"base" + $"chunk_seq")
+          .drop("base")
+      else
+        chunks
+          .join(urlBase.hint("SHUFFLE_HASH"), Seq("url"))
+          .withColumn("doc_id", $"base" + $"chunk_seq")
+          .drop("base")
+          .sortWithinPartitions($"docpart", $"url", $"chunk_seq")
+    (withIds, () => { perUrl.unpersist(blocking = false); () })
   }
 
-  private def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
+  private[graft] def stageIds(spark: SparkSession, dir: String, cfg: Config): DocStats = {
     import spark.implicits._
     if (Manifest.completed(dir, "ids")("all")) return readDocStats(dir)
     val t0 = System.nanoTime()
     val chunks = spark.read.parquet(chunksDir(dir))
-    val (withIds, urlBase, cleanup) = assignIdsWithBases(spark, chunks, 0L, cfg)
-    // persist the tiny url->base map FIRST: the posting stages join it back
-    // onto the chunk scratch to stamp doc ids, so the heavy token arrays
-    // never have to be stored twice (they live only in the scratch; the
-    // docs store keeps metadata + chunk text)
-    urlBase.write.mode("overwrite").parquet(urlBasesDir(dir))
+    val (withIds, cleanup) = assignIds(spark, chunks, 0L, cfg)
     // doc stats ride along with the write (Observation): no extra pass.
     // docpart partitioning makes the docs store the maintenance diff
     // source (partition-pruned changelog updates) — the chunk scratch is
-    // dropped after the build (stageCleanup).
+    // dropped right after this stage commits (stageCleanup).
     val obs = org.apache.spark.sql.Observation()
-    withIds.drop("terms", "grams")
+    withIds
       .observe(obs, count(lit(1)).as("n"),
         sum($"dl".cast("long")).as("sum_dl"),
         max($"warc_ts").cast("string").as("wm"))
@@ -595,7 +631,7 @@ object IndexBuild {
   }
 
   /** Stage 3/4 — posting segments. Resume unit: bucket. */
-  private def stagePostings(spark: SparkSession, dir: String, cfg: Config,
+  private[graft] def stagePostings(spark: SparkSession, dir: String, cfg: Config,
                             stats: DocStats, grams: Boolean): Int = {
     import spark.implicits._
     val stage = if (grams) "postings_grams" else "postings_terms"
@@ -604,41 +640,29 @@ object IndexBuild {
     val missing = (0 until cfg.nBuckets).filterNot(b => done(b.toString))
     if (missing.isEmpty) return cfg.nBuckets
     val t0 = System.nanoTime()
-    // Normal path: token arrays come from the chunk scratch, doc ids from
-    // the persisted url->base map (broadcast below the gate; at 10^12 docs
-    // the same join runs storage-partitioned on the shared hash(url)
-    // bucketing). Fallback (scratch already dropped by stageCleanup, e.g. a
-    // bucket invalidated on a finished index): re-derive the arrays from
-    // the docs store's chunk text — tokenization is deterministic, so the
-    // rebuilt segments are identical.
+    // Token arrays are re-derived from the docs store's chunk text (ids
+    // already stamped — no join, no shuffle before the transposed
+    // repartition; tokenization is deterministic, so a bucket rebuilt
+    // years later produces byte-identical segments). Explicit grams
+    // (reference `chunk` command) are data, not derivable — they ride in
+    // the nullable explicit_grams column.
     val docsT: DataFrame =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(chunksDir(dir)))) {
-        val bases = spark.read.parquet(urlBasesDir(dir))
-        val nUrls = bases.count() // parquet footer count
-        val baseSide = if (nUrls <= cfg.broadcastUrlLimit) broadcast(bases) else bases
-        spark.read.parquet(chunksDir(dir))
-          .join(baseSide, Seq("url"))
-          .select(($"base" + $"chunk_seq").as("doc_id"), $"dl",
-            if (grams) $"grams" else $"terms")
-      } else {
-        val mode = cfg.chunkMode
-        if (grams)
-          spark.read.parquet(docsDir(dir))
-            .select($"doc_id", $"dl", $"chunk_text", $"explicit_grams")
-            .as[(Long, Int, String, Array[Int])]
-            .map { case (id, dl, text, eg) =>
-              (id, dl,
-                if (eg != null) eg
-                else Gram.gramsSorted(partial = false, Seq(text)))
-            }.toDF("doc_id", "dl", "grams")
-        else
-          spark.read.parquet(docsDir(dir))
-            .select($"doc_id", $"dl", $"chunk_text")
-            .as[(Long, Int, String)]
-            .map { case (id, dl, text) =>
-              (id, dl, Tokenizer.termFreqs(text).map { case (t, f) => TermFreq(t, f) })
-            }.toDF("doc_id", "dl", "terms")
-      }
+      if (grams)
+        spark.read.parquet(docsDir(dir))
+          .select($"doc_id", $"dl", $"chunk_text", $"explicit_grams")
+          .as[(Long, Int, String, Array[Int])]
+          .map { case (id, dl, text, eg) =>
+            (id, dl,
+              if (eg != null) eg
+              else Gram.gramsSorted(partial = false, Seq(text)))
+          }.toDF("doc_id", "dl", "grams")
+      else
+        spark.read.parquet(docsDir(dir))
+          .select($"doc_id", $"dl", $"chunk_text")
+          .as[(Long, Int, String)]
+          .map { case (id, dl, text) =>
+            (id, dl, Tokenizer.termFreqs(text).map { case (t, f) => TermFreq(t, f) })
+          }.toDF("doc_id", "dl", "terms")
     val segRows = buildSegRows(spark, docsT, cfg, stats, grams, missing)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segRows.write.mode("overwrite").partitionBy("bucket").parquet(outDir)
@@ -658,7 +682,7 @@ object IndexBuild {
   /** Stage 5 — dictionary + gram dictionary from segment *metadata* only
     * (the postings binary column is pruned from the scan).
     */
-  private def stageDictionary(spark: SparkSession, dir: String): Unit = {
+  private[graft] def stageDictionary(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     if (Manifest.completed(dir, "dictionary")("all")) return
     val t0 = System.nanoTime()

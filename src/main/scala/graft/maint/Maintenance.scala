@@ -129,28 +129,16 @@ object Maintenance {
     val t = tombstones(spark, dir)
     if (t.isEmpty) return
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
-    // re-derive the token arrays (the docs store keeps none — they are
-    // deterministic functions of the chunk text) to rebuild the chunk
-    // scratch the derived stages consume
+    // pure projection: the scratch carries no token arrays (posting stages
+    // re-derive them from chunk text; explicit grams are data and ride in
+    // their own column), so compaction is an anti-join + rewrite
     val kept = docs.join(t.select("url", "warc_ts").distinct(),
         Seq("url", "warc_ts"), "left_anti")
       .select($"url", $"warc_ts", $"lang", $"docpart", $"chunk_seq", $"line",
         $"rune_off", $"rune_len", $"byte_start", $"byte_len", $"dl",
         $"n_grams", $"chunk_text", $"explicit_grams")
-      .as[(String, java.sql.Timestamp, String, Int, Int, Int, Long, Long,
-        Long, Long, Int, Int, String, Array[Int])]
-      .map { case (url, ts, lang, part, seq, line, ro, rl, bs, bl, dl, ng,
-                   text, eg) =>
-        val tfs = graft.core.Tokenizer.termFreqs(text)
-          .map { case (tt, f) => IndexBuild.TermFreq(tt, f) }
-        // explicit grams are data (reference chunk cmd) — never re-derived
-        val gs = if (eg != null) eg
-                 else graft.core.Gram.gramsSorted(partial = false, Seq(text))
-        IndexBuild.ChunkRow(url, ts, lang, part, seq, line, ro, rl, bs, bl,
-          dl, ng, text, tfs, gs, eg)
-      }
     val tmp = s"$dir/chunks_compacting"
-    kept.toDF().write.mode("overwrite").partitionBy("docpart").parquet(tmp)
+    kept.write.mode("overwrite").partitionBy("docpart").parquet(tmp)
     // atomic-ish swap (Iceberg snapshot replace in production)
     val fs = java.nio.file.Paths.get(dir)
     org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("chunks").toFile)
