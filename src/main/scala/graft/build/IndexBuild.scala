@@ -527,11 +527,25 @@ object IndexBuild {
         docsT.select(($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
             $"doc_id", $"dl".cast("long").as("dl"), $"terms")
           .as[(Int, Long, Long, Array[TermFreq])]
-          .flatMap { case (range, docId, dl, tfs) =>
+          .mapPartitions { rows =>
+          // per-task term->bucket memo: xxhash64 over a fresh UTF8String per
+          // term-occurrence is the slicer's hottest path, and real-corpus
+          // term frequency is Zipf — the memo hits for nearly every
+          // occurrence. Size-capped so task memory stays bounded on
+          // arbitrary vocabularies.
+          val memo = new java.util.HashMap[String, Integer](1 << 12)
+          rows.flatMap { case (range, docId, dl, tfs) =>
             val byBucket = new java.util.HashMap[Int,
               scala.collection.mutable.ArrayBuffer[TermFreq]]()
             tfs.foreach { tf =>
-              val bkt = termBucket(tf.t, nBuckets)
+              val bkt = {
+                var b = memo.get(tf.t)
+                if (b == null) {
+                  b = Integer.valueOf(termBucket(tf.t, nBuckets))
+                  if (memo.size < (1 << 16)) memo.put(tf.t, b)
+                }
+                b.intValue
+              }
               if (missingSet.contains(bkt)) {
                 var buf = byBucket.get(bkt)
                 if (buf == null) {
@@ -548,6 +562,7 @@ object IndexBuild {
               out += TermSlice(ent.getKey, range, docId, dl, ent.getValue.toArray)
             }
             out
+          }
           }
           .repartition(cfg.shufflePartitions, $"bucket", $"range_id")
           .sortWithinPartitions($"bucket", $"range_id", $"doc_id")
