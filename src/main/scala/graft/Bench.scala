@@ -39,7 +39,10 @@ object Bench {
     // becomes (cpus/2) executor JVMs x 2 cores each, with their own heaps,
     // GC and netty shuffle — the closest in-sandbox emulation of the north
     // rule's N-vs-4N *executors* criterion (thread-scaling inside one JVM
-    // shares heap/GC/allocator in ways a real cluster does not).
+    // shares heap/GC/allocator in ways a real cluster does not). Requires
+    // SPARK_HOME=/opt/spark and SPARK_SCALA_VERSION=2.13 in the env: the
+    // standalone worker's ExecutorRunner rebuilds the executor classpath
+    // from a Spark distribution layout.
     val localCluster = sys.env.get("SPARK_GRAFT_LOCAL_CLUSTER").exists(_ == "1")
     val b = SparkSession.builder()
       .appName(s"graft-bench-$cpus")
