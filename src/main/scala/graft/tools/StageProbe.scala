@@ -149,6 +149,18 @@ object StageProbe {
     timed(s"grams@$cpus", all || which == "grams") {
       IndexBuild.stagePostings(spark, dir, cfg, stats, grams = true)
     }
+    if (which == "query") {
+      IndexBuild.build(spark, corpus, dir, cfg) // complete any missing stage
+      reset()
+      val search = new graft.query.Search(spark, dir)
+      def q(label: String)(f: => Long): Unit = {
+        f // warm
+        timed(s"$label@$cpus", run = true)(f)
+      }
+      q("search_verify") { search.search(Seq("word", "one")).count() }
+      q("bm25_or_hot") { search.bm25TopK(Seq("the", "of", "and"), 10, conjunctive = false).count() }
+      q("candidates") { search.candidates(Seq("which", "there")).count() }
+    }
     spark.stop()
   }
 }
