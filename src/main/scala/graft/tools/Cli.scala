@@ -66,8 +66,58 @@ object Cli {
           else IndexBuild.ChunkMode.Lines))
       println(s"indexed n_docs=${stats.nDocs} resumedChunkParts=${stats.resumedChunks} " +
         s"resumedTermBuckets=${stats.resumedTermBuckets}")
-    case "search" :: dir :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).search(terms))
+    case "search" :: dir :: rest if rest.nonEmpty =>
+      // reference display contract (fts-lmdb.go:56-62, 1375-1388):
+      //   --format FMT / --sexp / -n / --start-format F / --end-format F
+      // FMT args: POSITION LINE OFFSET PERCENT CHUNK FILE (chunk already
+      // escape()d, trailing newline trimmed); default FILE:LINE:CHUNK.
+      val lineFormat = "%[6]s:%[2]d:%[5]s\n"
+      val sexpFormat = "(:filename \"%[6]s\" :line %[2]d :offset %[3]d " +
+        ":text \"%[5]s\" :char-offset %[1]d :percent %[4]f)\n"
+      def strOpt(flag: String): Option[String] =
+        rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v }
+      val sexp = rest.contains("--sexp")
+      val numbers = rest.contains("-n")
+      val fmt = strOpt("--format").getOrElse(if (sexp) sexpFormat else lineFormat)
+      val startFormat = strOpt("--start-format").getOrElse("")
+      val endFormat = strOpt("--end-format").getOrElse(if (sexp) "\n" else "")
+      val opts = Set("--sexp", "-n")
+      val flagged = Set("--format", "--start-format", "--end-format")
+      val terms = rest.zipWithIndex.filterNot { case (a, i) =>
+        opts(a) || flagged(a) || (i > 0 && flagged(rest(i - 1)))
+      }.map(_._1)
+      require(terms.nonEmpty, "search needs at least one term")
+      val df = new Search(session(), dir).search(terms)
+      if (strOpt("--format").isEmpty && !sexp && !numbers &&
+          strOpt("--start-format").isEmpty && strOpt("--end-format").isEmpty)
+        show(df) // engine-native tabular output
+      else {
+        // reference-format rendering (driver-side: display path only).
+        // rows arrive ordered (url, byte_start) — the group framing walk
+        // mirrors displayResults (fts-lmdb.go:1242-1266).
+        val rows = df.collect()
+        var curUrl: String = null
+        val out = new StringBuilder
+        rows.foreach { r =>
+          val url = r.getAs[String]("url")
+          if (url != curUrl) {
+            if (curUrl != null) out.append(GoFormat.printfGuarded(endFormat, curUrl))
+            out.append(GoFormat.printfGuarded(startFormat, url))
+            curUrl = url
+          }
+          if (numbers) out.append(s"$url:${r.get(r.fieldIndex("line"))}\n")
+          else {
+            val chunk = r.getAs[String]("chunk_text")
+            val trimmed = if (chunk.endsWith("\n")) chunk.dropRight(1) else chunk
+            out.append(GoFormat.format(fmt,
+              r.get(r.fieldIndex("position")), r.get(r.fieldIndex("line")),
+              r.get(r.fieldIndex("offset")), 0.0,
+              GoFormat.escape(trimmed), url))
+          }
+        }
+        if (curUrl != null) out.append(GoFormat.printfGuarded(endFormat, curUrl))
+        print(out)
+      }
     case "search-partial" :: dir :: terms if terms.nonEmpty =>
       show(new Search(session(), dir).search(terms, partial = true))
     case "search-filter" :: dir :: re :: terms if terms.nonEmpty =>
