@@ -401,12 +401,21 @@ class Search(spark: SparkSession, dir: String,
     val hydrated = regexFiltered
       .withColumn("offset", verifyCol($"chunk_text", args, partial))
       .where($"offset" >= 0)
-    val w = Window.partitionBy($"url").orderBy($"byte_start".asc, $"doc_id".asc)
-    hydrated.withColumn("rn", row_number().over(w))
-      .where($"rn" <= limitPerGroup)
+    // W5 limit-per-group window only when a limit is actually set — with
+    // the default unlimited it would add a whole shuffle just to compute a
+    // row number the projection drops
+    val limited =
+      if (limitPerGroup == Int.MaxValue) hydrated
+      else {
+        val w = Window.partitionBy($"url").orderBy($"byte_start".asc, $"doc_id".asc)
+        hydrated.withColumn("rn", row_number().over(w))
+          .where($"rn" <= limitPerGroup)
+      }
+    limited
       .select($"url", $"doc_id", $"line", ($"rune_off" + 1).as("position"),
-        $"offset", $"chunk_text")
+        $"offset", $"chunk_text", $"byte_start")
       .orderBy($"url", $"byte_start")
+      .drop("byte_start")
   }
 
   /** File-cover search (reference -file mode, intersectFileGrams
