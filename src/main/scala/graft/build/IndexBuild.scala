@@ -188,7 +188,9 @@ object IndexBuild {
   private def stageCleanup(spark: SparkSession, dir: String): Unit = {
     if (Manifest.completed(dir, "cleanup")("all")) return
     val t0 = System.nanoTime()
-    org.apache.commons.io.FileUtils.deleteDirectory(
+    // quiet: a crash between the delete and the manifest append leaves the
+    // dir already gone on the resumed run
+    org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(chunksDir(dir)))
     Manifest.append(dir, Manifest.Entry("cleanup", "all", 0L, 0L, "",
       (System.nanoTime() - t0) / 1000000))
