@@ -109,17 +109,22 @@ object IndexBuild {
   def dictDir(dir: String) = s"$dir/dictionary"
   def gramDictDir(dir: String) = s"$dir/gram_dict"
 
-  /** Chunk + tokenize one document — the only place raw text is processed. */
-  def chunkDoc(url: String, warcTs: Timestamp, lang: String, docpart: Int,
-               text: String, chunkMode: String): Seq[ChunkRow] = {
-    val chunks = chunkMode match {
+  /** Mode dispatch shared by [[chunkDoc]] and [[chunkDocMeta]] — one place
+    * decides what a "chunk" is.
+    */
+  private def chunksOf(text: String, chunkMode: String): IndexedSeq[graft.core.Chunk] =
+    chunkMode match {
       case ChunkMode.Lines => Chunker.linesLenient(text)
       case ChunkMode.Org => graft.core.OrgChunker.chunks(text)
       case _ => IndexedSeq(graft.core.Chunk(1, 0L,
         text.codePointCount(0, text.length).toLong,
         0L, text.getBytes("UTF-8").length.toLong, text))
     }
-    chunks.zipWithIndex.map { case (c, seq) =>
+
+  /** Chunk + tokenize one document — the only place raw text is processed. */
+  def chunkDoc(url: String, warcTs: Timestamp, lang: String, docpart: Int,
+               text: String, chunkMode: String): Seq[ChunkRow] = {
+    chunksOf(text, chunkMode).zipWithIndex.map { case (c, seq) =>
       val tfs = Tokenizer.termFreqs(c.text).map { case (t, f) => TermFreq(t, f) }
       val dl = { var s = 0; tfs.foreach(s += _.f); s }
       val grams = Gram.gramsSorted(partial = false, Seq(c.text))
@@ -146,14 +151,7 @@ object IndexBuild {
     */
   def chunkDocMeta(url: String, warcTs: Timestamp, lang: String, docpart: Int,
                    text: String, chunkMode: String): Seq[ChunkMeta] = {
-    val chunks = chunkMode match {
-      case ChunkMode.Lines => Chunker.linesLenient(text)
-      case ChunkMode.Org => graft.core.OrgChunker.chunks(text)
-      case _ => IndexedSeq(graft.core.Chunk(1, 0L,
-        text.codePointCount(0, text.length).toLong,
-        0L, text.getBytes("UTF-8").length.toLong, text))
-    }
-    chunks.zipWithIndex.map { case (c, seq) =>
+    chunksOf(text, chunkMode).zipWithIndex.map { case (c, seq) =>
       ChunkMeta(url, warcTs, lang, docpart, seq, c.line, c.runeOff, c.runeLen,
         c.byteStart, c.byteLen, Tokenizer.docLength(c.text),
         Gram.gramsSorted(partial = false, Seq(c.text)).length, c.text)

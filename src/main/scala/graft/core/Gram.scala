@@ -100,7 +100,11 @@ object Gram {
     * allocation path.
     */
   def gramsSorted(partial: Boolean, args: Seq[String]): Array[Int] = {
-    val bits = new Array[Long]((Base3 >> 6) + 1)
+    // thread-local workspace: a fresh 6.3 KB bitset per chunk would be the
+    // build's single largest allocation (tokenize runs per chunk in three
+    // stages); the drain loop below re-zeroes every word, so the buffer is
+    // always clean on entry. Executor task threads never share a call.
+    val bits = tlBits.get()
     var count = 0
     def add(str: String): Unit = {
       var grm = 0
@@ -129,6 +133,7 @@ object Gram {
     var o = 0
     while (w < bits.length) {
       var b = bits(w)
+      bits(w) = 0L // leave the shared workspace clean for the next call
       while (b != 0) {
         val t = java.lang.Long.numberOfTrailingZeros(b)
         out(o) = (w << 6) + t
@@ -138,6 +143,10 @@ object Gram {
       w += 1
     }
     out
+  }
+
+  private val tlBits = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long]((Base3 >> 6) + 1)
   }
 
   /** Parse one gram literal in the reference's three CLI forms (gramFor
