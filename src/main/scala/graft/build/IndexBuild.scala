@@ -67,7 +67,14 @@ object IndexBuild {
       * mid-size inputs — 32 MB keeps every level saturated (the ids stage
       * measured 2.2x from 4->16 cores under the default, 128 MB / 14 splits).
       */
-    maxPartitionBytes: Long = 32L * 1024 * 1024) {
+    maxPartitionBytes: Long = 32L * 1024 * 1024,
+    /** Auto segment-merge threshold for incremental maintenance: when this
+      * many posting appends (updates + chunk adds) have accumulated since
+      * the last merge, [[graft.maint.Maintenance.mergeSegments]] splices
+      * multi-segment (key, range_id) groups so query cursor fan-in stays
+      * bounded. 0 disables (manual `merge-segments` only).
+      */
+    autoMergeSegments: Int = 8) {
     require(ChunkMode.All(chunkMode), s"unknown chunkMode: $chunkMode")
   }
 
@@ -96,7 +103,7 @@ object IndexBuild {
   final case class DocStats(nDocs: Long, sumDl: Long, avgdl: Double,
                             rangeSize: Long, nBuckets: Int, nRanges: Int,
                             k1: Double, b: Double, watermark: String,
-                            nextDocId: Long)
+                            nextDocId: Long, docParts: Int = 8)
 
   final case class BuildStats(nDocs: Long, nChunkParts: Int, nTermBuckets: Int,
                               nGramBuckets: Int, resumedChunks: Int,
@@ -349,7 +356,8 @@ object IndexBuild {
     val nDocs = n
     val rangeSize = math.max(1L, (nDocs + cfg.nRanges - 1) / cfg.nRanges)
     val stats = DocStats(nDocs, sumDl, if (n == 0) 1.0 else sumDl.toDouble / n,
-      rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm, nextDocId = nDocs)
+      rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm, nextDocId = nDocs,
+      docParts = cfg.docParts)
     writeDocStats(dir, stats)
     Manifest.append(dir, Manifest.Entry("ids", "all", n, 0L, wm,
       (System.nanoTime() - t0) / 1000000))
@@ -723,7 +731,8 @@ object IndexBuild {
       s"""{"n_docs":${s.nDocs},"sum_dl":${s.sumDl},"avgdl":${s.avgdl},""" +
         s""""range_size":${s.rangeSize},"n_buckets":${s.nBuckets},""" +
         s""""n_ranges":${s.nRanges},"k1":${s.k1},"b":${s.b},""" +
-        s""""next_doc_id":${s.nextDocId},"watermark":"${s.watermark}"}"""
+        s""""next_doc_id":${s.nextDocId},"doc_parts":${s.docParts},""" +
+        s""""watermark":"${s.watermark}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "docstats.json"),
       json.getBytes("UTF-8"))
   }
@@ -741,6 +750,7 @@ object IndexBuild {
       num("range_size").toLong, num("n_buckets").toInt, num("n_ranges").toInt,
       num("k1").toDouble, num("b").toDouble, str("watermark"),
       nextDocId = numOpt("next_doc_id").map(_.toLong)
-        .getOrElse(num("n_docs").toLong))
+        .getOrElse(num("n_docs").toLong),
+      docParts = numOpt("doc_parts").map(_.toInt).getOrElse(8))
   }
 }

@@ -67,14 +67,31 @@ object Maintenance {
     tombstoneDocsOf(spark, dir, urls.toDF("url"))
   }
 
+  /** Docs-store rows of `urls`, with the scan pruned to the urls' docparts
+    * (docpart = pmod(xxhash64(url), docParts), the same addressing as the
+    * build and diffVersions) — a delete/update batch touches O(dirty parts)
+    * of the store, never all of it. The distinct-docpart collect is bounded
+    * by docParts values.
+    */
+  private[graft] def docsOfUrls(spark: SparkSession, dir: String,
+                                urls: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dp = IndexBuild.readDocStats(dir).docParts
+    val u = urls.select("url").distinct()
+      .withColumn("docpart", pmod(xxhash64(col("url")), lit(dp)).cast("int"))
+    val parts = u.select($"docpart").distinct().as[Int].collect()
+    spark.read.parquet(IndexBuild.docsDir(dir))
+      .where(col("docpart").isin(parts.toSeq: _*))
+      .join(u.select("url"), Seq("url"))
+  }
+
   /** Append tombstone rows for all not-yet-tombstoned doc rows of `urls`.
     * Idempotent: re-running tombstones nothing new (anti-join on doc_id).
     */
   private def tombstoneDocsOf(spark: SparkSession, dir: String,
                               urls: DataFrame): Long = {
-    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
     val existing = tombstones(spark, dir)
-    val rows = docs.join(urls.select("url").distinct(), Seq("url"))
+    val rows = docsOfUrls(spark, dir, urls)
       .select(col("url"), col("warc_ts"), col("doc_id"))
       .join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("url"), col("warc_ts"), col("doc_id"))
@@ -124,31 +141,52 @@ object Maintenance {
     * via the normal build stages (ids re-densify, stats refresh, scratch
     * dropped again at the end).
     */
+  /** Compact is crash-safe via a `compacting` manifest marker: the marker
+    * is appended only after the kept-rows rewrite has fully committed, and
+    * removed only after the derived rebuild completes. Re-running compact
+    * with the marker pending skips straight to the (idempotent) swap +
+    * rebuild — a crash anywhere between "tombstones deleted" and "derived
+    * state rebuilt" is recoverable by calling compact() again, which the
+    * pre-marker version of this path could not do (tombstones-empty made
+    * the re-run a no-op while docs/postings were already gone).
+    */
   def compact(spark: SparkSession, dir: String, cfg: IndexBuild.Config): Unit = {
     import spark.implicits._
-    val t = tombstones(spark, dir)
-    if (t.isEmpty) return
-    val docs = spark.read.parquet(IndexBuild.docsDir(dir))
-    // pure projection: the scratch carries no token arrays (posting stages
-    // re-derive them from chunk text; explicit grams are data and ride in
-    // their own column), so compaction is an anti-join + rewrite
-    val kept = docs.join(t.select("url", "warc_ts").distinct(),
-        Seq("url", "warc_ts"), "left_anti")
-      .select($"url", $"warc_ts", $"lang", $"docpart", $"chunk_seq", $"line",
-        $"rune_off", $"rune_len", $"byte_start", $"byte_len", $"dl",
-        $"n_grams", $"chunk_text", $"explicit_grams")
-    val tmp = s"$dir/chunks_compacting"
-    kept.write.mode("overwrite").partitionBy("docpart").parquet(tmp)
-    // atomic-ish swap (Iceberg snapshot replace in production)
     val fs = java.nio.file.Paths.get(dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("chunks").toFile)
-    java.nio.file.Files.move(fs.resolve("chunks_compacting"), fs.resolve("chunks"))
+    val tmp = s"$dir/chunks_compacting"
+    val pending = Manifest.completed(dir, "compacting")("swap")
+    if (!pending) {
+      val t = tombstones(spark, dir)
+      if (t.isEmpty) return
+      val docs = spark.read.parquet(IndexBuild.docsDir(dir))
+      // pure projection: the scratch carries no token arrays (posting stages
+      // re-derive them from chunk text; explicit grams are data and ride in
+      // their own column), so compaction is an anti-join + rewrite
+      val kept = docs.join(t.select("url", "warc_ts").distinct(),
+          Seq("url", "warc_ts"), "left_anti")
+        .select($"url", $"warc_ts", $"lang", $"docpart", $"chunk_seq", $"line",
+          $"rune_off", $"rune_len", $"byte_start", $"byte_len", $"dl",
+          $"n_grams", $"chunk_text", $"explicit_grams")
+      kept.write.mode("overwrite").partitionBy("docpart").parquet(tmp)
+      // the marker is the commit point: before it, a crash leaves the old
+      // index fully intact (re-run starts over); after it, a re-run resumes
+      // below without needing the (soon-deleted) tombstones
+      Manifest.append(dir, Manifest.Entry("compacting", "swap", 0L, 0L, "", 0L))
+    }
+    // swap (idempotent: guarded by the tmp dir's existence — on a resumed
+    // run after the move, chunks/ already holds the compacted rows)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(tmp))) {
+      org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("chunks").toFile)
+      java.nio.file.Files.move(fs.resolve("chunks_compacting"), fs.resolve("chunks"))
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
-    org.apache.commons.io.FileUtils.deleteDirectory(fs.resolve("docs").toFile)
-    (Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup")
-      ++ UpdateStages)
+    org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("docs").toFile)
+    // counters/pending markers reset with the derived state
+    (Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup",
+      "seg_merge", "chunk_add", "dict_pending") ++ UpdateStages)
       .foreach(Manifest.invalidateStage(dir, _))
     rebuildDerived(spark, dir, cfg)
+    Manifest.invalidateStage(dir, "compacting")
   }
 
   /** M3 `-t` dry run (reference cmdUpdate print-plan, fts-lmdb.go:987-1026):
@@ -290,8 +328,14 @@ object Maintenance {
       nDeltaChunks
     }
     // 5. merge dictionaries: delta segment metadata (first_doc >= base
-    //    prunes to appended rows) summed into the old dictionaries
-    guarded("upd_dict") { mergeDictionaries(spark, dir, base); 0L }
+    //    prunes to appended rows) summed into the old dictionaries; pending
+    //    deferred-add contributions (ids < base) fold into the same rewrite
+    guarded("upd_dict") {
+      val pend = Manifest.completed(dir, "dict_pending").map(_.toLong)
+      mergeDictionaries(spark, dir, (pend + base).min)
+      if (pend.nonEmpty) Manifest.invalidateStage(dir, "dict_pending")
+      0L
+    }
 
     // 6. LAST: append the delta to the docs store — the diff source — so
     //    completing it makes the whole update a no-op on re-run
@@ -305,6 +349,7 @@ object Maintenance {
     }
     cleanup()
     deltaChunks.unpersist()
+    autoMergeIfNeeded(spark, dir, cfg.autoMergeSegments)
     (nNew, nChanged, nDeleted)
   }
 
@@ -317,10 +362,19 @@ object Maintenance {
     * tokens; gram postings from the given grams. Driver-side id
     * allocation — this is the reference's single-chunk CLI op, not a bulk
     * path (use [[update]] for bulk). Returns the new doc id.
+    *
+    * `mergeDict=false` defers the dictionary merge: the chunk is recorded
+    * as a `dict_pending` manifest entry and N deferred adds pay ONE
+    * dictionary rewrite at the next [[flushDict]] / merging add / update —
+    * the segment metadata's `first_doc >= base` pruning already identifies
+    * every unmerged segment, so batching is free. Between the add and the
+    * flush the chunk is INVISIBLE to dictionary-gated retrieval (a gram/
+    * term absent from the dictionary short-circuits to empty) — deferral
+    * trades read-your-write for O(1) dictionary work per add.
     */
   def addChunk(spark: SparkSession, dir: String, url: String, data: String,
                grams: Seq[Int], warcTs: java.sql.Timestamp,
-               cfg: IndexBuild.Config): Long = {
+               cfg: IndexBuild.Config, mergeDict: Boolean = true): Long = {
     import spark.implicits._
     val stats0 = IndexBuild.readDocStats(dir)
     val docId = stats0.nextDocId
@@ -355,13 +409,58 @@ object Maintenance {
         cfg, stats0, grams = true, allBuckets)
       .write.mode("append").partitionBy("bucket")
       .parquet(IndexBuild.gramPostingsDir(dir))
-    mergeDictionaries(spark, dir, docId)
+    if (mergeDict) {
+      val pend = Manifest.completed(dir, "dict_pending").map(_.toLong)
+      mergeDictionaries(spark, dir, (pend + docId).min)
+      if (pend.nonEmpty) Manifest.invalidateStage(dir, "dict_pending")
+    } else
+      Manifest.append(dir, Manifest.Entry("dict_pending", docId.toString,
+        1L, 0L, "", 0L))
     // LAST: the docs store is the diff/live view — append commits the chunk
     val cols = spark.read.parquet(IndexBuild.docsDir(dir)).schema.fieldNames
     withId.select(cols.map(col).toIndexedSeq: _*)
       .write.mode("append").partitionBy("docpart")
       .parquet(IndexBuild.docsDir(dir))
+    Manifest.append(dir, Manifest.Entry("chunk_add", docId.toString, 1L, 0L,
+      "", 0L))
+    autoMergeIfNeeded(spark, dir, cfg.autoMergeSegments)
     docId
+  }
+
+  /** Merge every pending deferred-add dictionary contribution in ONE
+    * rewrite (see [[addChunk]] `mergeDict=false`). Returns the number of
+    * pending chunks folded in.
+    */
+  def flushDict(spark: SparkSession, dir: String): Long = {
+    val pend = Manifest.completed(dir, "dict_pending").map(_.toLong)
+    if (pend.isEmpty) return 0L
+    mergeDictionaries(spark, dir, pend.min)
+    Manifest.invalidateStage(dir, "dict_pending")
+    pend.size.toLong
+  }
+
+  /** Automatic segment-merge policy (the reference's self-contained space
+    * reclamation analog for the query path): every incremental append adds
+    * at most one segment per (key, range_id) group, so the number of
+    * appends since the last merge upper-bounds every group's segment
+    * count. When it reaches `threshold`, splice both posting families.
+    * O(manifest) to check — no metadata scan on the happy path.
+    */
+  private def autoMergeIfNeeded(spark: SparkSession, dir: String,
+                                threshold: Int): Long = {
+    if (threshold <= 0) return 0L
+    val appends = Manifest.completed(dir, "upd_docs").size +
+      Manifest.completed(dir, "chunk_add").size
+    val mergedAt = Manifest.completed(dir, "seg_merge")
+      .map(_.toInt).foldLeft(0)(math.max)
+    if (appends - mergedAt < threshold) 0L
+    else {
+      val n = mergeSegments(spark, dir, gramsTable = false) +
+        mergeSegments(spark, dir, gramsTable = true)
+      Manifest.append(dir, Manifest.Entry("seg_merge", appends.toString, n,
+        0L, "", 0L))
+      n
+    }
   }
 
   private def swapWrite(df: DataFrame, target: String): Unit = {
@@ -408,10 +507,15 @@ object Maintenance {
     * byte-level directory/payload splice, no posting re-encoding. Only
     * buckets that contain multi-segment groups are rewritten. Returns the
     * number of rewritten buckets.
+    *
+    * Any pending deferred-add dictionary merges are flushed FIRST: splicing
+    * rewrites `first_doc` to the earliest segment's, which would break the
+    * `first_doc >= base` pruning the pending merge relies on.
     */
   def mergeSegments(spark: SparkSession, dir: String,
                     gramsTable: Boolean): Long = {
     import spark.implicits._
+    flushDict(spark, dir)
     val path = if (gramsTable) IndexBuild.gramPostingsDir(dir)
                else IndexBuild.termPostingsDir(dir)
     // metadata-only scan (postings column pruned) to find affected buckets

@@ -26,18 +26,49 @@ object Similarity {
 
   /** Brute-force top-k neighbors for each query vector (vec_id < nQueries)
     * among the rest, ranked by exact cosine (desc, then neighbor id).
+    *
+    * Scale shape: the QUERY side broadcasts (it is the small side by
+    * construction — a handful of probe vectors); the candidate corpus is
+    * scanned exactly once and never shuffled. Each scan task keeps a
+    * bounded k-heap per query and emits at most |q|*k rows, so only
+    * nPartitions*|q|*k winner rows reach the final merge — at 100 TB the
+    * corpus stays where it is and the network carries winners only.
     */
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = emb.where(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val scored = q.join(broadcast(c).hint("broadcast"), lit(true))
+    val scored = c.join(broadcast(q), lit(true))
       .withColumn("cos_permille", expr(cosinePermilleExpr("qe", "ne")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
+    val kk = k
+    // per-partition bounded top-k per query: heap root = current worst
+    // (smallest cosine, then largest neighbor id), evicted when beaten
+    val partial = scored.as[(Long, Long, Long)].mapPartitions { it =>
+      val worstFirst: Ordering[(Long, Long)] =
+        Ordering.by { case (cos, nid) => (-cos, nid) }
+      val heaps = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.PriorityQueue[(Long, Long)]]()
+      it.foreach { case (qid, nid, cos) =>
+        val h = heaps.getOrElseUpdate(qid,
+          new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstFirst))
+        if (h.size < kk) h.enqueue((cos, nid))
+        else if (worstFirst.compare((cos, nid), h.head) < 0) {
+          h.dequeue(); h.enqueue((cos, nid))
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+      }
+    }
+    // exact final merge over the bounded winner set
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_permille").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    partial.toDF("query_id", "neighbor_id", "cos_permille")
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_permille"), col("rn"))
       .orderBy("query_id", "rn")
   }

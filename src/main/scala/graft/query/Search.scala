@@ -92,14 +92,12 @@ class Search(spark: SparkSession, dir: String,
     }
   }
 
-  private def termBucket(t: String): Int = {
-    // must match pmod(xxhash64(term), nBuckets) used at build
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
-        org.apache.spark.sql.types.StringType, 42L)
-    val m = h % stats.nBuckets
-    (if (m < 0) m + stats.nBuckets else m).toInt
-  }
+  /** Delegates to the build-side definition so the hash/seed/floorMod
+    * contract lives in exactly one place — query-time bucket pruning must
+    * never diverge from build-time bucket assignment.
+    */
+  private def termBucket(t: String): Int =
+    IndexBuild.termBucket(t, stats.nBuckets)
 
   /** Dictionary lookup for query terms (term -> df). Tiny collect: the
     * north rule's "broadcast dictionary" slice for this query.
@@ -335,9 +333,15 @@ class Search(spark: SparkSession, dir: String,
     *  - `sortGlobal=true` (`-fuzzy -sort`, sortFuzzy fts-lmdb.go:1390-1408):
     *    one global ordering (ratio ASC, url ASC) ignoring group framing.
     * The reference's equal-ratio order is map-iteration nondeterministic;
-    * we tie-break by doc_id for reproducibility. The global rank window is
-    * display-side (result sets are bounded by minRatio), not a data-scale
-    * operator.
+    * we tie-break by doc_id for reproducibility.
+    *
+    * The global rank is computed WITHOUT a single-partition window: rows
+    * are range-partitioned + sorted on the total key (ratio, url, doc_id)
+    * and the rank is per-partition offset + local index (the same prefix-
+    * sum trick as doc-id assignment, here via `zipWithIndex`) — a hot
+    * query at a low minRatio ranks distributed instead of dragging every
+    * match through one task. Cost: the count pass evaluates the (cheap,
+    * kernel-side-filtered) fuzzy scoring twice.
     */
   def fuzzySearch(args: Seq[String], minRatio: Double,
                   sortGlobal: Boolean = false,
@@ -345,9 +349,20 @@ class Search(spark: SparkSession, dir: String,
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
     val hydrated = docs.join(fuzzy(args, minRatio), Seq("doc_id"))
     if (sortGlobal) {
-      val w = Window.orderBy($"ratio".asc, $"url".asc, $"doc_id".asc)
-      hydrated.withColumn("rn", row_number().over(w))
-        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text", $"rn")
+      val np = spark.sessionState.conf.numShufflePartitions
+      val sorted = hydrated
+        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text")
+        .repartitionByRange(np, $"ratio".asc, $"url".asc, $"doc_id".asc)
+        .sortWithinPartitions($"ratio".asc, $"url".asc, $"doc_id".asc)
+        .as[(String, Long, Int, Long, Double, String)]
+      // the sort key is total (doc_id is unique), so offset+local-index
+      // reproduces row_number exactly, independent of range boundaries
+      val ranked = sorted.rdd.zipWithIndex.map {
+        case ((url, id, line, hits, ratio, text), i) =>
+          (url, id, line, hits, ratio, text, i + 1)
+      }
+      spark.createDataFrame(ranked)
+        .toDF("url", "doc_id", "line", "hits", "ratio", "chunk_text", "rn")
         .orderBy($"rn")
     } else {
       val w = Window.partitionBy($"url").orderBy($"ratio".desc, $"doc_id".asc)

@@ -221,6 +221,123 @@ class MaintenanceSpec extends SparkSuite {
     assert(g.sorted.toSeq == Seq("e://1", "e://2"))
   }
 
+  test("delete scans only the batch urls' docparts (partition-pruned tombstoning)") {
+    val dir = tmpDir("maint-prune")
+    val docs = WebCorpus.generate(spark, 80, seed = 11L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val url = docs.select("url").orderBy("url").head().getString(0)
+    val pruned = Maintenance.docsOfUrls(spark, dir, Seq(url).toDF("url"))
+    val p = pruned.queryExecution.executedPlan.toString
+    // the docs scan must carry a docpart partition filter (IN on the batch's
+    // parts), not read the whole store
+    assert("PartitionFilters: \\[[^\\]]*docpart".r.findFirstIn(p).isDefined,
+      p.take(900))
+    val part = math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(url),
+          org.apache.spark.sql.types.StringType, 42L), cfg.docParts.toLong)
+    assert(p.contains(s"IN ($part)") || p.contains(s"isin($part)") ||
+      p.contains(s"= $part"), s"expected docpart=$part filter:\n${p.take(900)}")
+    assert(pruned.select("url").distinct().as[String].collect().toSeq == Seq(url))
+    // delete/update stay green through the pruned path
+    Maintenance.delete(spark, dir, Seq(url))
+    val t = Maintenance.tombstones(spark, dir)
+    assert(t.select("url").distinct().as[String].collect().toSeq == Seq(url))
+  }
+
+  test("compact resumes after a crash between destroy and rebuild (compacting marker)") {
+    val dir = tmpDir("maint-crash")
+    val docs = WebCorpus.generate(spark, 40, seed = 23L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val victim = docs.select("url").orderBy("url").head().getString(0)
+    Maintenance.delete(spark, dir, Seq(victim))
+    Maintenance.compact(spark, dir, cfg)
+    val wantUrls = new Search(spark, dir).search(Seq("the"))
+      .select("url").distinct().as[String].collect().toSet
+
+    // reconstruct the mid-compact crash state: compacted chunks swapped in,
+    // tombstones+docs already destroyed, derived stages invalidated, marker
+    // pending — the window the pre-marker compact could not recover from
+    // (tombstones empty -> re-run no-oped with no docs store left)
+    val chunkCols = Seq("url", "warc_ts", "lang", "docpart", "chunk_seq",
+      "line", "rune_off", "rune_len", "byte_start", "byte_len", "dl",
+      "n_grams", "chunk_text", "explicit_grams")
+    spark.read.parquet(IndexBuild.docsDir(dir))
+      .select(chunkCols.map(col).toIndexedSeq: _*)
+      .write.partitionBy("docpart").parquet(IndexBuild.chunksDir(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/docs"))
+    Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup")
+      .foreach(graft.build.Manifest.invalidateStage(dir, _))
+    graft.build.Manifest.append(dir,
+      graft.build.Manifest.Entry("compacting", "swap", 0L, 0L, "", 0L))
+
+    Maintenance.compact(spark, dir, cfg) // resume: no tombstones, marker set
+    assert(graft.build.Manifest.completed(dir, "compacting").isEmpty)
+    val s = new Search(spark, dir)
+    val gotUrls = s.search(Seq("the")).select("url").distinct()
+      .as[String].collect().toSet
+    assert(gotUrls == wantUrls)
+    assert(!gotUrls.contains(victim))
+  }
+
+  test("auto segment-merge fires after N appends and keeps results identical") {
+    val dir = tmpDir("maint-autom")
+    val amCfg = cfg.copy(autoMergeSegments = 3)
+    val docs = WebCorpus.generate(spark, 30, seed = 88L, partitions = 2).cache()
+    IndexBuild.build(spark, docs, dir, amCfg)
+    val url = docs.select("url").orderBy("url").head().getString(0)
+    (1 to 3).foreach { i =>
+      val nd = docs
+        .withColumn("text", when($"url" === url,
+          lit(s"the recurring capy text v$i\n")).otherwise($"text"))
+        .withColumn("warc_ts", when($"url" === url,
+          lit(s"2022-0$i-01 00:00:00").cast("timestamp")).otherwise($"warc_ts"))
+      Maintenance.update(spark, dir, nd, amCfg)
+    }
+    // the third append crossed the threshold: groups spliced automatically
+    assert(graft.build.Manifest.completed(dir, "seg_merge").nonEmpty)
+    val multi = spark.read.parquet(IndexBuild.termPostingsDir(dir))
+      .groupBy("key", "range_id").count().where($"count" > 1).count()
+    assert(multi == 0, "multi-segment groups left after auto-merge")
+    val s = new Search(spark, dir)
+    assert(s.search(Seq("capy")).select("url").as[String].collect().toSeq == Seq(url))
+    val wand = s.bm25TopK(Seq("the"), 10, conjunctive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = s.bm25BruteForce(Seq("the"), 10, conjunctive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == brute)
+  }
+
+  test("deferred addChunk dict maintenance: k adds, one rewrite (flushDict)") {
+    val dir = tmpDir("maint-defer")
+    val docs = WebCorpus.generate(spark, 20, seed = 91L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val url = docs.select("url").orderBy("url").head().getString(0)
+    val gs = Seq(graft.core.Gram.parseGram(".ZQ"), graft.core.Gram.parseGram("ZQ."))
+    def dictState: Map[String, Long] =
+      Files.walk(Paths.get(IndexBuild.dictDir(dir))).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    val before = dictState
+    val ids = (1 to 3).map(i => Maintenance.addChunk(spark, dir, url,
+      s"okapi payload$i", gs,
+      java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), cfg, mergeDict = false))
+    assert(ids.distinct.size == 3)
+    // no dictionary rewrite happened for any deferred add
+    assert(dictState == before)
+    // one flush folds all three in; second flush is a no-op
+    assert(Maintenance.flushDict(spark, dir) == 3L)
+    assert(Maintenance.flushDict(spark, dir) == 0L)
+    // explicit-gram retrieval sees the batch once the dict is flushed
+    assert(new Search(spark, dir).candidatesByGrams(gs).count() == 3)
+    val dict = spark.read.parquet(IndexBuild.dictDir(dir))
+    assert(dict.where($"term" === "okapi").select($"df".cast("long"))
+      .head().getLong(0) == 3L)
+    // BM25 over the flushed dict sees all three chunks
+    assert(new Search(spark, dir).bm25TopK(Seq("okapi"), 5, conjunctive = true)
+      .collect().map(_.getLong(0)).toSet == ids.toSet)
+  }
+
   test("update re-chunks only dirty docparts; clean parts never re-tokenized") {
     val dir = tmpDir("maint-upd")
     val base = WebCorpus.generate(spark, 80, seed = 33L, partitions = 2).cache()

@@ -87,8 +87,9 @@ class ParitySpec extends SparkSuite {
     assert(search.fuzzySearch(Seq("three", "four"), 0.3, limitPerGroup = 2).count() == 2)
     // global -sort: ascending ratio, ties by url/doc_id (sortFuzzy)
     val g = search.fuzzySearch(Seq("three", "four"), 0.3, sortGlobal = true).collect()
-    val gRanked = g.map(r => (r.getAs[Int]("rn"), r.getAs[Double]("ratio"), r.getAs[Long]("doc_id")))
-    assert(gRanked.map(_._1).toSeq == (1 to g.length))
+    // rn is Long in global mode (prefix-sum rank, not a window row_number)
+    val gRanked = g.map(r => (r.getAs[Long]("rn"), r.getAs[Double]("ratio"), r.getAs[Long]("doc_id")))
+    assert(gRanked.map(_._1).toSeq == (1L to g.length))
     gRanked.sliding(2).foreach {
       case Array((_, r1, d1), (_, r2, d2)) =>
         assert(r1 < r2 || (r1 == r2 && d1 < d2))

@@ -105,6 +105,62 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("verify_match"), "native verify expression missing from the plan")
   }
 
+  test("cosineTopK broadcasts the query side, never the corpus") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.cosineTopK(emb, 3, 5)
+    val rows = df.collect()
+    assert(rows.length == 15)
+    // exact agreement with a driver-side brute force on the same fold order
+    def cos(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(dot / math.sqrt(na) / math.sqrt(nb) * 1000).toLong
+    }
+    val vecs = (0L until 40L).map(i =>
+      i -> Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)).toMap
+    val want = (0L until 3L).flatMap { q =>
+      (3L until 40L).map(n => (q, n, cos(vecs(q), vecs(n))))
+        .sortBy { case (_, n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((qq, n, c), i) => (qq, n, c, i + 1) }
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == want)
+    // the one BroadcastExchange subtree must hold the (vec_id < 3) query
+    // side — a corpus-side broadcast OOMs every executor at scale
+    val p = df.queryExecution.executedPlan.toString
+    val bIdx = p.indexOf("BroadcastExchange")
+    assert(bIdx >= 0, p.take(600))
+    // the broadcast subtree is printed below the exchange node; it must
+    // carry the query-side columns (query_id/qe), not the corpus side
+    // (neighbor_id/ne)
+    val sub = p.substring(bIdx, math.min(p.length, p.indexOf('\n', bIdx + 1) + 200))
+    assert(sub.contains("query_id"), s"broadcast side is not the query side:\n$sub")
+    assert(!sub.contains("neighbor_id"), s"corpus side under the broadcast:\n$sub")
+  }
+
+  test("global fuzzy rank runs distributed (no single-partition window)") {
+    val df = search.fuzzySearch(Seq("the"), 0.3, sortGlobal = true)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(!p.contains("Window"), "rank must not come from a partition-less window")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rn")).toSeq == (1L to rows.length).toSeq)
+    // ordering is the reference sortFuzzy contract: ratio asc, url asc
+    val keys = rows.map(r => (r.getAs[Double]("ratio"), r.getAs[String]("url"),
+      r.getAs[Long]("doc_id")))
+    assert(keys.toSeq == keys.sortBy(identity).toSeq)
+  }
+
   test("whole-stage codegen covers the relational ops pipeline") {
     val df = graft.ops.TextOps.termDf(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
