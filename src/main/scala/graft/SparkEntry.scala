@@ -232,7 +232,19 @@ object SparkEntry {
       graft.ops.Multimodal.sampleFramePlan(
           graft.ops.Multimodal.generate(s, 2000, partitions = 8).toDF(), everyK = 3)
         .select(col("media_id"), col("frame_idx").cast("long"))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+    // ---- search-time staleness (reference findBadFiles + search -f):
+    // current snapshot drops doc_id%17==0 (missing) and re-stamps
+    // doc_id%10==0 (stale); fresh search excludes both
+    "q40_search_fresh" -> ((s, d) => {
+      val cur = docsTable(s, d)
+        .where(col("doc_id") % 17 =!= 0)
+        .select(format_string("doc://%012d", col("doc_id")).as("url"),
+          when(col("doc_id") % 10 === 0, lit("2021-01-01 00:00:00"))
+            .otherwise(lit("2020-01-01 00:00:00")).cast("timestamp").as("warc_ts"))
+      engine(s, d).searchFresh(Seq("order", "batch"), cur)
+        .select(urlToDocId.as("doc_id")).orderBy("doc_id")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -577,6 +589,11 @@ object SparkEntry {
     "q39_frame_plan" ->
       """SELECT i AS media_id, f AS frame_idx
          FROM range(0, 2000) t(i), unnest(range(0, 8 + i % 4, 3)) u(f)
-         WHERE i % 3 = 2 ORDER BY media_id, frame_idx"""
+         WHERE i % 3 = 2 ORDER BY media_id, frame_idx""",
+    "q40_search_fresh" ->
+      s"""SELECT doc_id FROM documents
+          WHERE ${ww("order")} AND ${ww("batch")}
+            AND doc_id % 17 <> 0 AND doc_id % 10 <> 0
+          ORDER BY doc_id"""
   )
 }

@@ -224,23 +224,23 @@ object IndexBuild {
       chunkDocMeta(url, ts, lang, part, text, cfg.chunkMode)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // the stage watermark rides along with the write (Observation) — a
-    // separate max(warc_ts) pass over the fresh chunk store would re-scan
-    // the corpus's timestamp column serially after the parallel work
-    val obs = org.apache.spark.sql.Observation()
-    chunked.toDF().observe(obs, max($"warc_ts").cast("string").as("wm"))
+    chunked.toDF()
       .write.mode("overwrite").partitionBy("docpart").parquet(chunksDir(dir))
-    val wm = Option(obs.get("wm")).map(_.toString).getOrElse("")
     val wallMs = (System.nanoTime() - t0) / 1000000
-    // per-unit row counts: count over the partition column only — parquet
-    // footer metadata, no data pages read
+    // per-unit row counts + per-PART watermarks in one small scan of the
+    // fresh chunk store (count is footer metadata; max(warc_ts) reads one
+    // tiny column). Each docpart's manifest entry records its own true max
+    // — the manifest is the durable audit record, and a batch-global max
+    // would overstate parts whose real watermark is lower.
     val stats = spark.read.parquet(chunksDir(dir))
       .where(col("docpart").isin(missing: _*))
-      .groupBy("docpart").agg(count(lit(1)).as("rows"))
+      .groupBy("docpart").agg(count(lit(1)).as("rows"),
+        max($"warc_ts").cast("string").as("wm"))
       .collect()
-    val byPart = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val byPart = stats.map(r =>
+      r.getInt(0) -> (r.getLong(1), if (r.isNullAt(2)) "" else r.getString(2))).toMap
     missing.foreach { p =>
-      val rows = byPart.getOrElse(p, 0L)
+      val (rows, wm) = byPart.getOrElse(p, (0L, ""))
       val bytes = dirBytes(s"${chunksDir(dir)}/docpart=$p")
       Manifest.append(dir, Manifest.Entry("chunks", p.toString, rows, bytes,
         wm, wallMs / missing.size))

@@ -433,6 +433,44 @@ class Search(spark: SparkSession, dir: String,
       .drop("byte_start")
   }
 
+  /** Search-time staleness check (reference findBadFiles,
+    * fts-lmdb.go:1109-1126, which stats each hit's file): compare the
+    * given urls' newest live indexed version against a current docs table.
+    * Returns (url, status) with status `missing` (url absent from
+    * `currentDocs` — reference exit 2) or `stale` (version differs —
+    * reference exit 3).
+    *
+    * Scale shape: `urls` is the hit-url set (bounded by the result), so
+    * the indexed-version lookup runs docpart-pruned over the docs store
+    * ([[graft.maint.Maintenance.docsOfUrls]]) and the join against the
+    * (possibly huge) current table broadcasts the url set — the current
+    * corpus is scanned once, never shuffled.
+    */
+  def badFiles(urls: DataFrame, currentDocs: DataFrame): DataFrame = {
+    val indexed = graft.maint.Maintenance.docsOfUrls(spark, dir, urls)
+      .join(graft.maint.Maintenance.tombstones(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .groupBy($"url").agg(max($"warc_ts").as("indexed_ts"))
+    val cur = currentDocs.select($"url", $"warc_ts".as("cur_ts"))
+    indexed.join(cur.join(broadcast(indexed.select("url")), Seq("url"), "left_semi"),
+        Seq("url"), "left_outer")
+      .select($"url", when($"cur_ts".isNull, "missing")
+        .when($"cur_ts" =!= $"indexed_ts", "stale").as("status"))
+      .where($"status".isNotNull)
+  }
+
+  /** [[search]] with stale/missing groups dropped (reference `search -f`:
+    * skip bad files instead of erroring, fts-lmdb.go:1117-1120).
+    */
+  def searchFresh(args: Seq[String], currentDocs: DataFrame,
+                  partial: Boolean = false,
+                  limitPerGroup: Int = Int.MaxValue,
+                  filterRegex: Option[String] = None): DataFrame = {
+    val hits = search(args, partial, limitPerGroup, filterRegex)
+    val bad = badFiles(hits.select("url").distinct(), currentDocs)
+    hits.join(broadcast(bad.select("url")), Seq("url"), "left_anti")
+  }
+
   /** File-cover search (reference -file mode, intersectFileGrams
     * fts-lmdb.go:1449-1495): a url matches iff for EVERY arg there exists a
     * chunk of that url whole-word-containing the arg (AND across args, OR

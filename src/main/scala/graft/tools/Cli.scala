@@ -12,13 +12,20 @@ import graft.sources.WebCorpus
   * usage:
   *   Cli index INDEXDIR (--synth N | --parquet PATH) [--buckets B] [--ranges R]
   *   Cli search INDEXDIR TERM...           (conjunctive candidates + verify)
+  *     [--docs PATH]  staleness check vs a current docs table: exit 2 if a
+  *                    hit url is missing from it, 3 if stale
+  *                    (reference findBadFiles, README.org:68-74)
+  *     [-f]           with --docs: skip stale/missing groups instead
+  *     [-u]           with --docs: run incremental update first
+  *                    (reference search -u, fts-lmdb.go:1050-1055)
   *   Cli search-partial INDEXDIR TERM...
   *   Cli search-grams INDEXDIR [-gx|-gd] GRAM...  (explicit-gram candidates)
   *   Cli fuzzy INDEXDIR RATIO TERM...      (per-group best-match-first)
   *   Cli fuzzy-sort INDEXDIR RATIO TERM... (-fuzzy -sort global ordering)
   *   Cli bm25 INDEXDIR K and|or TERM...
   *   Cli files INDEXDIR TERM...            (-file cover mode)
-  *   Cli chunk INDEXDIR URL DATA [-gx|-gd] GRAM...  (explicit-gram chunk)
+  *   Cli chunk INDEXDIR URL DATA [-gx|-gd] [--defer-dict] GRAM...
+  *   Cli flush-dict INDEXDIR               (fold deferred chunk adds in)
   *   Cli empty INDEXDIR URL...             (chunk-less groups, skip existing)
   *   Cli update-plan INDEXDIR --synth N    (update -t dry run)
   *   Cli merge-segments INDEXDIR           (splice incremental appends)
@@ -29,8 +36,31 @@ import graft.sources.WebCorpus
   *   Cli gram-coverage INDEXDIR            (15-threshold CDF + sizes)
   *
   * `index` accepts --org to chunk by org-mode elements (reference -org).
+  *
+  * Exit codes follow the reference contract (README.org:68-74, parsed by
+  * the elisp front-ends org-fts.el:113-124): 0 ok, 1 no results, 2 a
+  * result file is missing, 3 a result file is stale.
   */
 object Cli {
+  /** Control-flow carrier for the reference exit-code contract — lets
+    * tests drive the CLI in-process via [[run]] without killing the JVM.
+    */
+  private final case class Exit(code: Int)
+    extends RuntimeException(s"exit $code")
+
+  private def exit(code: Int): Nothing = throw Exit(code)
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args)
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Dispatch and return the process exit code (0 ok, 1 no results,
+    * 2 missing file, 3 stale file — README.org:68-74).
+    */
+  def run(args: Array[String]): Int =
+    try { dispatch(args); 0 } catch { case Exit(c) => c }
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
@@ -46,7 +76,20 @@ object Cli {
 
   private def show(df: DataFrame, n: Int = 50): Unit = df.show(n, truncate = false)
 
-  def main(args: Array[String]): Unit = args.toList match {
+  /** Show + reference empty-result contract: exit 1 when no rows. */
+  private def showR(df: DataFrame, n: Int = 50): Unit = {
+    if (df.isEmpty) { System.err.println("no results"); exit(1) }
+    show(df, n)
+  }
+
+  /** Maintenance config matching the index's build parameters. */
+  private def cfgFor(dir: String): IndexBuild.Config = {
+    val s = IndexBuild.readDocStats(dir)
+    IndexBuild.Config(nBuckets = s.nBuckets, nRanges = s.nRanges,
+      docParts = s.docParts)
+  }
+
+  private def dispatch(args: Array[String]): Unit = args.toList match {
     case "index" :: dir :: rest =>
       val spark = session()
       val docs = rest match {
@@ -80,22 +123,54 @@ object Cli {
       val numbers = rest.contains("-n")
       val fmt = strOpt("--format").getOrElse(if (sexp) sexpFormat else lineFormat)
       val startFormat = strOpt("--start-format").getOrElse("")
-      val endFormat = strOpt("--end-format").getOrElse(if (sexp) "\n" else "")
-      val opts = Set("--sexp", "-n")
-      val flagged = Set("--format", "--start-format", "--end-format")
+      // NOTE: the reference never actually prints its sexpGroupEnd — its
+      // own `cfg.format == groupEnd` comparison skips it (fts-lmdb.go:
+      // 197-199) — so sexp mode defaults to NO group-end output, matching
+      // observed reference behavior rather than its dead constant.
+      val endFormat = strOpt("--end-format").getOrElse("")
+      val opts = Set("--sexp", "-n", "-u", "-f")
+      val flagged = Set("--format", "--start-format", "--end-format", "--docs")
       val terms = rest.zipWithIndex.filterNot { case (a, i) =>
         opts(a) || flagged(a) || (i > 0 && flagged(rest(i - 1)))
       }.map(_._1)
       require(terms.nonEmpty, "search needs at least one term")
-      val df = new Search(session(), dir).search(terms)
+      val spark = session()
+      val docsPath = strOpt("--docs")
+      if (rest.contains("-u")) {
+        // reference search -u: run the incremental update before searching
+        val p = docsPath.getOrElse(sys.error("-u needs --docs PATH"))
+        graft.maint.Maintenance.update(spark, dir, spark.read.parquet(p),
+          cfgFor(dir))
+      }
+      val eng = new Search(spark, dir)
+      var df = eng.search(terms)
+      docsPath.foreach { p =>
+        val cur = spark.read.parquet(p)
+        if (rest.contains("-f"))
+          // -f: skip stale/missing groups (findBadFiles skip path)
+          df = df.join(org.apache.spark.sql.functions.broadcast(
+            eng.badFiles(df.select("url").distinct(), cur).select("url")),
+            Seq("url"), "left_anti")
+        else {
+          val bad = eng.badFiles(df.select("url").distinct(), cur)
+            .collect().map(r => (r.getString(0), r.getString(1)))
+          bad.find(_._2 == "missing").foreach { case (u, _) =>
+            System.err.println(s"missing: $u"); exit(2)
+          }
+          bad.find(_._2 == "stale").foreach { case (u, _) =>
+            System.err.println(s"stale: $u"); exit(3)
+          }
+        }
+      }
       if (strOpt("--format").isEmpty && !sexp && !numbers &&
           strOpt("--start-format").isEmpty && strOpt("--end-format").isEmpty)
-        show(df) // engine-native tabular output
+        showR(df) // engine-native tabular output (exit 1 on empty)
       else {
         // reference-format rendering (driver-side: display path only).
         // rows arrive ordered (url, byte_start) — the group framing walk
         // mirrors displayResults (fts-lmdb.go:1242-1266).
         val rows = df.collect()
+        if (rows.isEmpty) { System.err.println("no results"); exit(1) }
         var curUrl: String = null
         val out = new StringBuilder
         rows.foreach { r =>
@@ -119,45 +194,52 @@ object Cli {
         print(out)
       }
     case "search-partial" :: dir :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).search(terms, partial = true))
+      showR(new Search(session(), dir).search(terms, partial = true))
     case "search-filter" :: dir :: re :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).search(terms, filterRegex = Some(re)))
+      showR(new Search(session(), dir).search(terms, filterRegex = Some(re)))
     case "candidates" :: dir :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).candidates(terms).orderBy("doc_id"))
+      showR(new Search(session(), dir).candidates(terms).orderBy("doc_id"))
     case "fuzzy" :: dir :: ratio :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).fuzzy(terms, ratio.toDouble))
+      showR(new Search(session(), dir).fuzzy(terms, ratio.toDouble))
     case "bm25" :: dir :: k :: mode :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).bm25TopK(terms, k.toInt, mode == "and"))
+      showR(new Search(session(), dir).bm25TopK(terms, k.toInt, mode == "and"))
     case "files" :: dir :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir).searchFiles(terms))
+      showR(new Search(session(), dir).searchFiles(terms))
     case "delete" :: dir :: urls if urls.nonEmpty =>
       graft.maint.Maintenance.delete(session(), dir, urls)
       println(s"tombstoned ${urls.size} url(s)")
     case "compact" :: dir :: Nil =>
-      graft.maint.Maintenance.compact(session(), dir, IndexBuild.Config(
-        nBuckets = 8, nRanges = 8, docParts = 8))
+      graft.maint.Maintenance.compact(session(), dir, cfgFor(dir))
       println("compacted")
     case "update" :: dir :: "--synth" :: n :: Nil =>
       val spark = session()
       val (nn, nc, nd) = graft.maint.Maintenance.update(spark, dir,
-        WebCorpus.generate(spark, n.toLong), IndexBuild.Config(
-          nBuckets = 8, nRanges = 8, docParts = 8))
+        WebCorpus.generate(spark, n.toLong), cfgFor(dir))
+      println(s"update: new=$nn changed=$nc deleted=$nd")
+    case "update" :: dir :: "--parquet" :: p :: Nil =>
+      val spark = session()
+      val (nn, nc, nd) = graft.maint.Maintenance.update(spark, dir,
+        spark.read.parquet(p), cfgFor(dir))
       println(s"update: new=$nn changed=$nc deleted=$nd")
     case "search-grams" :: dir :: rest if rest.nonEmpty =>
       val (hex, dec) = (rest.contains("-gx"), rest.contains("-gd"))
       val lits = rest.filterNot(Set("-gx", "-gd"))
       val gs = lits.map(graft.core.Gram.parseGram(_, hex, dec))
-      show(new Search(session(), dir).candidatesByGrams(gs).orderBy("doc_id"))
+      showR(new Search(session(), dir).candidatesByGrams(gs).orderBy("doc_id"))
     case "fuzzy-sort" :: dir :: ratio :: terms if terms.nonEmpty =>
-      show(new Search(session(), dir)
+      showR(new Search(session(), dir)
         .fuzzySearch(terms, ratio.toDouble, sortGlobal = true))
     case "chunk" :: dir :: url :: data :: rest if rest.nonEmpty =>
       val (hex, dec) = (rest.contains("-gx"), rest.contains("-gd"))
-      val gs = rest.filterNot(Set("-gx", "-gd"))
+      val gs = rest.filterNot(Set("-gx", "-gd", "--defer-dict"))
         .map(graft.core.Gram.parseGram(_, hex, dec))
       val id = graft.maint.Maintenance.addChunk(session(), dir, url, data, gs,
-        new java.sql.Timestamp(0L), IndexBuild.Config())
+        new java.sql.Timestamp(0L), cfgFor(dir),
+        mergeDict = !rest.contains("--defer-dict"))
       println(s"added chunk doc_id=$id")
+    case "flush-dict" :: dir :: Nil =>
+      val n = graft.maint.Maintenance.flushDict(session(), dir)
+      println(s"flushed $n deferred chunk(s)")
     case "empty" :: dir :: urls if urls.nonEmpty =>
       val n = graft.maint.Maintenance.emptyGroups(session(), dir, urls)
       println(s"added $n empty group(s)")
@@ -182,6 +264,6 @@ object Cli {
       val s = new Search(session(), dir)
       show(s.gramCoverage()); show(s.indexSizes())
     case _ =>
-      System.err.println("see Cli scaladoc for usage"); sys.exit(1)
+      System.err.println("see Cli scaladoc for usage"); exit(1)
   }
 }

@@ -108,11 +108,13 @@ object GoFormat {
       } else if (i + 1 >= fmt.length) { sb.append('%'); i += 1 }
       else {
         var j = i + 1
+        var explicitIdx = false
         if (fmt.charAt(j) == '[') {
           val close = fmt.indexOf(']', j)
           if (close > j + 1 &&
               fmt.substring(j + 1, close).forall(_.isDigit)) {
             argIdx = fmt.substring(j + 1, close).toInt - 1
+            explicitIdx = true
             j = close + 1
           }
         }
@@ -123,9 +125,14 @@ object GoFormat {
         else {
           val spec = fmt.substring(specStart, j)
           val verb = fmt.charAt(j)
-          val a = if (argIdx >= 0 && argIdx < args.length) args(argIdx) else null
+          val missing = argIdx < 0 || argIdx >= args.length
+          val a = if (!missing) args(argIdx) else null
           argIdx += 1
-          verb match {
+          if (missing)
+            // Go: implicit cursor past the args prints %!<verb>(MISSING);
+            // an explicit [N] out of range prints %!<verb>(BADINDEX)
+            sb.append(if (explicitIdx) s"%!$verb(BADINDEX)" else s"%!$verb(MISSING)")
+          else verb match {
             case 's' | 'v' => sb.append(String.format(s"%${spec}s", String.valueOf(a)))
             case 'd' => sb.append(String.format(s"%${spec}d", java.lang.Long.valueOf(asLong(a))))
             case 'f' => sb.append(String.format(s"%${spec}f", java.lang.Double.valueOf(asDouble(a))))

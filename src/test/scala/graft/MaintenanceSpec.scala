@@ -338,6 +338,27 @@ class MaintenanceSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet == ids.toSet)
   }
 
+  test("search-time staleness: badFiles statuses + searchFresh exclusion (findBadFiles)") {
+    val dir = tmpDir("maint-stale")
+    val docs = WebCorpus.generate(spark, 40, seed = 17L, partitions = 2).cache()
+    IndexBuild.build(spark, docs, dir, cfg)
+    val s = new Search(spark, dir)
+    val hitUrls = s.search(Seq("the")).select("url").distinct()
+      .as[String].collect().sorted
+    assert(hitUrls.length >= 3)
+    val (missingUrl, staleUrl) = (hitUrls(0), hitUrls(1))
+    val cur = docs.where($"url" =!= missingUrl)
+      .withColumn("warc_ts", when($"url" === staleUrl,
+        lit("2030-01-01 00:00:00").cast("timestamp")).otherwise($"warc_ts"))
+      .select("url", "warc_ts")
+    val bad = s.badFiles(s.search(Seq("the")).select("url").distinct(), cur)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad == Map(missingUrl -> "missing", staleUrl -> "stale"))
+    val fresh = s.searchFresh(Seq("the"), cur).select("url").distinct()
+      .as[String].collect().toSet
+    assert(fresh == hitUrls.toSet - missingUrl - staleUrl)
+  }
+
   test("update re-chunks only dirty docparts; clean parts never re-tokenized") {
     val dir = tmpDir("maint-upd")
     val base = WebCorpus.generate(spark, 80, seed = 33L, partitions = 2).cache()

@@ -49,6 +49,13 @@ class GoFormatSpec extends AnyFunSuite {
     assert(GoFormat.format("%%d %d", 42) == "%d 42")
   }
 
+  test("format: out-of-range argument index prints Go's MISSING marker") {
+    // Go: fmt.Sprintf("%s %s", "a") == "a %!s(MISSING)"
+    assert(GoFormat.format("%s %s", "a") == "a %!s(MISSING)")
+    assert(GoFormat.format("%d", Seq.empty: _*) == "%!d(MISSING)")
+    assert(GoFormat.format("%[9]s", "a") == "%!s(BADINDEX)")
+  }
+
   test("printfGuarded: literal-only formats print as-is") {
     assert(GoFormat.printfGuarded("plain") == "plain")
     assert(GoFormat.printfGuarded("", "arg") == "")
