@@ -400,21 +400,30 @@ object SparkEntry {
       }.mkString(" + ")
       s"SELECT vec_id, CAST($bitExprs AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
     },
-    "q26_lang_id" ->
-      s"""WITH w AS ($W),
-          c AS (SELECT doc_id,
-            len(list_filter(arr, x -> x IN ('the', 'scan', 'sort'))) AS c_en,
-            len(list_filter(arr, x -> x IN ('order', 'column', 'part'))) AS c_es,
-            len(list_filter(arr, x -> x IN ('window', 'agg', 'value'))) AS c_de
-            FROM w),
-          g AS (SELECT doc_id, c_en, c_es, c_de, greatest(c_en, c_es, c_de) AS best FROM c)
+    "q26_lang_id" -> {
+      // char-trigram profile counts, same derived lists as TextOps.langId
+      val profCols = TextOps.LangProfiles.map { case (lang, gs) =>
+        val inList = gs.map(g => "'" + g + "'").mkString(",")
+        s"""CASE WHEN length(t) < 3 THEN 0 ELSE
+              len(list_filter(list_transform(range(1, length(t) - 1),
+                i -> substr(t, i, 3)), x -> x IN ($inList))) END AS c_$lang"""
+      }.mkString(",\n            ")
+      val langs = TextOps.LangProfiles.map(_._1)
+      val bestOf = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+      val nWinners = langs
+        .map(l => s"CASE WHEN c_$l = best THEN 1 ELSE 0 END").mkString(" + ")
+      val pick = langs.init
+        .map(l => s"WHEN c_$l = best THEN '$l'").mkString(" ") +
+        s" ELSE '${langs.last}'"
+      s"""WITH c AS (SELECT doc_id, $profCols
+            FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+          g AS (SELECT *, $bestOf AS best FROM c)
           SELECT doc_id, CASE
             WHEN best = 0 THEN 'und'
-            WHEN (CASE WHEN c_en = best THEN 1 ELSE 0 END +
-                  CASE WHEN c_es = best THEN 1 ELSE 0 END +
-                  CASE WHEN c_de = best THEN 1 ELSE 0 END) > 1 THEN 'und'
-            WHEN c_en = best THEN 'en' WHEN c_es = best THEN 'es' ELSE 'de' END AS pred_lang
-          FROM g ORDER BY doc_id""",
+            WHEN ($nWinners) > 1 THEN 'und'
+            $pick END AS pred_lang
+          FROM g ORDER BY doc_id"""
+    },
     "q27_quality" ->
       s"""SELECT doc_id, len(arr) AS n_tokens, length(text) AS len_chars,
           CASE WHEN len(arr) = 0 THEN 0 ELSE

@@ -432,15 +432,29 @@ object IndexBuild {
         // builder state each) and a range's posting bytes are capped by
         // rangeSize (the nRanges knob sizes kernels to executor memory).
         // Works for the incremental delta append too (any doc-id range).
-        // Resume granularity note: a resumed gram stage re-shuffles all
-        // chunk rows and drops completed buckets' grams in the kernel —
-        // resume here trades a bucket-pruned shuffle for the 5x smaller one.
+        // Resume granularity: on a partial resume each chunk's gram array
+        // is pre-filtered MAP-SIDE to the missing buckets (and empty rows
+        // dropped), so the resumed shuffle carries only the missing
+        // buckets' share of postings — ~|missing|/nBuckets of the full
+        // stage's bytes — instead of re-shipping every gram and dropping
+        // completed buckets in the kernel.
         val missingSet = missing.toSet
         val allBuckets = missingSet.size == cfg.nBuckets
         val nBuckets = cfg.nBuckets
-        docsT.select(($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
+        val gramRows = docsT
+          .select(($"doc_id" / lit(rangeSize)).cast("int").as("range_id"),
             $"doc_id", $"grams")
           .as[(Int, Long, Array[Int])]
+        val pruned =
+          if (allBuckets) gramRows
+          else gramRows
+            .map { case (r, d, gs) =>
+              (r, d, gs.filter(g => missingSet.contains(g % nBuckets)))
+            }
+            .filter(_._3.nonEmpty)
+            .toDF("range_id", "doc_id", "grams")
+            .as[(Int, Long, Array[Int])]
+        pruned
           .repartition(cfg.shufflePartitions, $"range_id")
           .sortWithinPartitions($"range_id", $"doc_id")
           .mapPartitions { it =>

@@ -123,26 +123,62 @@ object TextOps {
       ).cast("long").as("stopword_permille")
     ).orderBy("doc_id")
 
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "scan", "sort"),
-    "es" -> Seq("order", "column", "part"),
-    "de" -> Seq("window", "agg", "value"))
+  /** Fixed per-language sample texts the trigram profiles derive from —
+    * ordinary prose in each language (BMP only, no quotes, so the derived
+    * trigrams embed into SQL literals verbatim).
+    */
+  private val LangSamples: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog while the rain " +
+      "in spain stays mainly on the plain and all the people with their " +
+      "things went into the house because there was nothing better to do " +
+      "than wait for the weather to change with the wind and the water"),
+    "es" -> ("el rapido zorro marron salta sobre el perro perezoso mientras " +
+      "la lluvia en espana cae sobre la llanura y toda la gente con sus " +
+      "cosas entraron en la casa porque no habia nada mejor que hacer que " +
+      "esperar a que el tiempo cambiara con el viento y el agua para todos"),
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund " +
+      "waehrend der regen in spanien auf die ebene faellt und alle leute " +
+      "mit ihren sachen ins haus gingen weil es nichts besseres zu tun gab " +
+      "als auf besseres wetter zu warten mit dem wind und dem wasser"))
 
-  /** Deterministic marker-count language ID (n-gram-heuristic shape):
-    * argmax of per-language marker hits, ties -> 'und'. The marker lists
-    * are fixture vocab, standing in for real character-n-gram profiles.
+  /** Character-trigram language profiles: the top-30 trigrams by frequency
+    * of each language's sample, computed deterministically at class load
+    * (tie-break: trigram asc). This is the Cavnar-Trenkle n-gram-profile
+    * shape with integer-exact scoring — public knowledge, fixed here so
+    * the DuckDB oracle can embed the identical lists.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = LangSamples.map {
+    case (lang, sample) =>
+      val s = sample.toLowerCase
+      val counts = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+        .groupBy(identity).map { case (g, xs) => (g, xs.size) }
+      lang -> counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(30).map(_._1)
+  }
+
+  private def profileCountExpr(lang: String, grams: Seq[String]): Column = {
+    val inList = grams.map(g => "'" + g + "'").mkString(",")
+    // guard: Spark sequence(1, n) DESCENDS for n < 1, so short texts must
+    // short-circuit (DuckDB's half-open range is naturally empty there)
+    expr(s"""CASE WHEN length(t) < 3 THEN 0 ELSE
+               size(filter(transform(sequence(1, length(t) - 2),
+                 i -> substring(t, i, 3)), x -> x IN ($inList))) END""")
+      .as(s"c_$lang")
+  }
+
+  /** Deterministic char-trigram language ID: per-language occurrence count
+    * of the profile trigrams in lower(text) (multiplicity kept), argmax;
+    * zero evidence or a tie -> 'und'. Per-row, codegen-friendly, scales
+    * columnar; integer-exact so the oracle hashes bit-stably.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val counts = LangMarkers.map { case (lang, ws) =>
-      expr(s"size(filter(arr, w -> w in (${ws.map("'" + _ + "'").mkString(",")})))")
-        .as(s"c_$lang")
-    }
-    val withCounts = withWords(docs).select(col("doc_id") +: counts: _*)
-    val best = greatest(LangMarkers.map(m => col(s"c_${m._1}")): _*)
-    val winners = LangMarkers.map { case (lang, _) =>
+    val base = docs.withColumn("t", lower(col("text")))
+    val counts = LangProfiles.map { case (lang, gs) => profileCountExpr(lang, gs) }
+    val withCounts = base.select(col("doc_id") +: counts: _*)
+    val best = greatest(LangProfiles.map(m => col(s"c_${m._1}")): _*)
+    val winners = LangProfiles.map { case (lang, _) =>
       when(col(s"c_$lang") === best, 1).otherwise(0)
     }.reduce(_ + _)
-    val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+    val pred = LangProfiles.foldRight(lit("und")) { case ((lang, _), acc) =>
       when(col(s"c_$lang") === best && winners === 1, lang).otherwise(acc)
     }
     withCounts.select(col("doc_id"),

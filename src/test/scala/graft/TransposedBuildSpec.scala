@@ -73,4 +73,56 @@ class TransposedBuildSpec extends SparkSuite {
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2)) -> r.getString(3))
       .toMap
+
+  private def gramDigest(dir: String): Map[(Int, String, Int), String] =
+    spark.read.parquet(IndexBuild.gramPostingsDir(dir))
+      .select(col("bucket"), col("key"), col("range_id"), md5(col("postings")).as("h"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)) -> r.getString(3))
+      .toMap
+
+  test("wide-resume gram stage prunes the shuffle map-side (shuffle-bytes probe)") {
+    import java.nio.file.{Files, Paths}
+    val docs = WebCorpus.generate(spark, 300, seed = 14L, partitions = 2)
+    val cfgT = IndexBuild.Config(nBuckets = 4, nRanges = 2, docParts = 2,
+      shufflePartitions = 4)
+
+    // build, wipe `missing` gram buckets, resume; return the resumed run's
+    // total shuffle-write bytes and assert byte-identical reconstruction
+    def resumeBytes(missing: Seq[Int]): Long = {
+      val dir = tmpDir("transposed-gprune")
+      IndexBuild.build(spark, docs, dir, cfgT)
+      val full = gramDigest(dir)
+      for (b <- missing)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          Paths.get(IndexBuild.gramPostingsDir(dir), s"bucket=$b").toFile)
+      val kept = Files.readAllLines(Paths.get(dir, "manifest.jsonl"))
+      val filtered = new java.util.ArrayList[String]()
+      kept.forEach { l =>
+        val drop = l.contains("\"stage\":\"postings_grams\"") &&
+          missing.exists(b => l.contains(s""""unit":"$b""""))
+        if (!drop) filtered.add(l)
+      }
+      Files.write(Paths.get(dir, "manifest.jsonl"), filtered)
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        IndexBuild.build(spark, docs, dir, cfgT)
+        Thread.sleep(1500) // listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(gramDigest(dir) == full, "pruned resume diverged")
+      acc.get
+    }
+
+    val bytesAll = resumeBytes(Seq(0, 1, 2, 3))
+    val bytesOne = resumeBytes(Seq(1))
+    // 1 of 4 buckets missing must shuffle well under the full stage's bytes
+    assert(bytesOne * 10 < bytesAll * 8,
+      s"map-side prune ineffective: resumed=$bytesOne full=$bytesAll")
+  }
 }
