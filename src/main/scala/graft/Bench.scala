@@ -108,6 +108,34 @@ object Bench {
     q("search_verify") { search.search(Seq("word", "one")).count() }
     q("fuzzy") { search.fuzzy(Seq("other"), 0.6).count() }
     q("candidates") { search.candidates(Seq("which", "there")).count() }
+
+    // ---- maintenance path (skip with SPARK_GRAFT_MAINT=0): 1% changelog
+    // update, 1% tombstone delete, and a tombstone-heavy query forced
+    // through the distributed cogroup dead-id path (inline gate = 0)
+    if (!sys.env.get("SPARK_GRAFT_MAINT").contains("0")) {
+      import org.apache.spark.sql.functions._
+      val benchCfg = IndexBuild.Config(nBuckets = 16, nRanges = 32,
+        docParts = 32, shufflePartitions = FixedShufflePartitions)
+      val delta = corpus
+        .where(pmod(xxhash64(col("url")), lit(100L)) === 0)
+        .withColumn("text", concat(lit("updated delta words "), col("text")))
+        .withColumn("warc_ts", lit("2025-01-01 00:00:00").cast("timestamp"))
+      val (_, updSec) = time {
+        graft.maint.Maintenance.update(spark, idxDir, delta, benchCfg,
+          partialSnapshot = true)
+      }
+      results += "update_1pct" -> updSec
+      val delUrls = corpus.where(pmod(xxhash64(col("url")), lit(100L)) === 1)
+        .select("url").collect().map(_.getString(0)).toSeq
+      val (_, delSec) = time {
+        graft.maint.Maintenance.delete(spark, idxDir, delUrls)
+      }
+      results += "delete_1pct" -> delSec
+      q("bm25_or_hot_tombstoned") {
+        new Search(spark, idxDir, maxInlineTombstones = 0)
+          .bm25TopK(Seq("the", "of", "and"), 10, conjunctive = false).count()
+      }
+    }
     (results, bstats.nDocs)
   }
 

@@ -262,9 +262,10 @@ object Maintenance {
       .select($"url", $"n_ts")
     // deterministic batch key over the delta membership (stable across
     // partial-failure re-runs: the chunk store — the diff source — is only
-    // appended in the LAST stage)
+    // appended in the LAST stage). bit_xor, not sum: a sum of 64-bit
+    // hashes overflows under ANSI arithmetic on real-size deltas
     val keyRow = delta
-      .agg(sum(xxhash64($"url", $"n_ts".cast("string"))).as("h"),
+      .agg(expr("bit_xor(xxhash64(url, CAST(n_ts AS string)))").as("h"),
         count(lit(1)).as("c")).head()
     val deltaKey = java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1)
     diff.unpersist()
