@@ -35,35 +35,41 @@ object Similarity {
     * corpus stays where it is and the network carries winners only.
     */
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    import emb.sparkSession.implicits._
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = emb.where(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val scored = c.join(broadcast(q), lit(true))
       .withColumn("cos_permille", expr(cosinePermilleExpr("qe", "ne")))
-      .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
+    mergeTopK(scored, k)
+  }
+
+  /** Per-partition bounded top-k per query over (query_id, neighbor_id,
+    * cos_permille) rows, then an exact rank over the <= nPartitions*|q|*k
+    * winner rows — scored candidates never shuffle, only winners do.
+    */
+  private def mergeTopK(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
     val kk = k
-    // per-partition bounded top-k per query: heap root = current worst
-    // (smallest cosine, then largest neighbor id), evicted when beaten
-    val partial = scored.as[(Long, Long, Long)].mapPartitions { it =>
-      val worstFirst: Ordering[(Long, Long)] =
-        Ordering.by { case (cos, nid) => (-cos, nid) }
-      val heaps = new scala.collection.mutable.HashMap[Long,
-        scala.collection.mutable.PriorityQueue[(Long, Long)]]()
-      it.foreach { case (qid, nid, cos) =>
-        val h = heaps.getOrElseUpdate(qid,
-          new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstFirst))
-        if (h.size < kk) h.enqueue((cos, nid))
-        else if (worstFirst.compare((cos, nid), h.head) < 0) {
-          h.dequeue(); h.enqueue((cos, nid))
+    val partial = scored
+      .select(col("query_id"), col("neighbor_id"), col("cos_permille"))
+      .as[(Long, Long, Long)].mapPartitions { it =>
+        val worstFirst: Ordering[(Long, Long)] =
+          Ordering.by { case (cos, nid) => (-cos, nid) }
+        val heaps = new scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.PriorityQueue[(Long, Long)]]()
+        it.foreach { case (qid, nid, cos) =>
+          val h = heaps.getOrElseUpdate(qid,
+            new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstFirst))
+          if (h.size < kk) h.enqueue((cos, nid))
+          else if (worstFirst.compare((cos, nid), h.head) < 0) {
+            h.dequeue(); h.enqueue((cos, nid))
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, nid) => (qid, nid, cos) }
         }
       }
-      heaps.iterator.flatMap { case (qid, h) =>
-        h.iterator.map { case (cos, nid) => (qid, nid, cos) }
-      }
-    }
-    // exact final merge over the bounded winner set
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_permille").desc, col("neighbor_id").asc)
@@ -131,25 +137,30 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
 
   /** IVF inverted lists: every candidate vector assigned to its nearest
-    * centroid (cosine argmax, ties to the smaller cid) — one broadcast
-    * join + window, no shuffle of the embedding table beyond the window.
-    * At 100 TB `cluster` becomes the storage partition key, so a query
-    * touches nProbe partitions instead of the corpus.
+    * centroid (cosine argmax, ties to the smaller cid). The K centroid
+    * scores per vector are produced map-side off the broadcast join and
+    * collapsed by a partial-aggregating argmax (`min_by` on the total key
+    * (-cosd, cid)) BEFORE any exchange — only (vec_id, cluster) pairs ever
+    * shuffle, never embedding columns. At 100 TB `cluster` becomes the
+    * storage partition key, so a query touches nProbe partitions instead
+    * of the corpus.
     */
   def ivfAssign(emb: DataFrame, nQueries: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cosd").desc, col("cid").asc)
     emb.where(col("vec_id") >= nQueries)
       .join(broadcast(ivfCentroids(emb, nQueries)), lit(true))
       .withColumn("cosd", expr(cosineDoubleExpr("embedding", "cemb")))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cluster"))
+      .select(col("vec_id"), col("cid"), col("cosd"))
+      .groupBy(col("vec_id"))
+      // total ordering key (cid is unique) -> deterministic argmax
+      .agg(min_by(col("cid"), struct(negate(col("cosd")), col("cid"))).as("cluster"))
   }
 
   /** IVF ANN top-k: rank centroids per query, probe the nProbe nearest
     * clusters' lists, exact-cosine re-rank within them. The approximation
-    * is the probe set; scoring is exact.
+    * is the probe set; scoring is exact. Probe table and query vectors
+    * broadcast (both are |q|-bounded); the probed lists stream map-side
+    * into the same bounded per-partition top-k merge as [[cosineTopK]] —
+    * no per-query single-task rank over the probed candidates.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val queries = emb.where(col("vec_id") < nQueries)
@@ -157,6 +168,7 @@ object Similarity {
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosd").desc, col("cid").asc)
+    // |q| x K rows: the window is driver-scale, not data-scale
     val probes = queries
       .join(broadcast(ivfCentroids(emb, nQueries)), lit(true))
       .withColumn("cosd", expr(cosineDoubleExpr("qe", "cemb")))
@@ -165,13 +177,10 @@ object Similarity {
     val lists = ivfAssign(emb, nQueries)
       .join(emb.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
       .select(col("cluster"), col("vec_id").as("neighbor_id"), col("ne"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_permille").desc, col("neighbor_id").asc)
-    probes.join(lists, Seq("cluster"))
-      .join(queries, Seq("query_id"))
+    val scored = lists.join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos_permille", expr(cosinePermilleExpr("qe", "ne")))
-      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
+    mergeTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cos_permille"),
         col("rn").cast("long").as("rn"))
       .orderBy("query_id", "rn")
