@@ -244,7 +244,14 @@ object SparkEntry {
             .otherwise(lit("2020-01-01 00:00:00")).cast("timestamp").as("warc_ts"))
       engine(s, d).searchFresh(Seq("order", "batch"), cur)
         .select(urlToDocId.as("doc_id")).orderBy("doc_id")
-    })
+    }),
+    // ---- file-cover search over the ORG index (J4 engine path): a url
+    // matches iff EVERY arg is whole-word-contained in SOME of its org
+    // chunks (AND across args, OR across chunks — 4 chunks per doc make
+    // the cover non-degenerate); oracle recomputes the chunk texts
+    "q41_files_cover_org" -> ((s, d) =>
+      new Search(s, orgIndexFor(s, d)).searchFiles(Seq("order", "batch"))
+        .select(urlToDocId.as("doc_id")).orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -603,6 +610,28 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
           WHERE ${ww("order")} AND ${ww("batch")}
             AND doc_id % 17 <> 0 AND doc_id % 10 <> 0
+          ORDER BY doc_id""",
+    "q41_files_cover_org" -> {
+      def wwc(t: String) =
+        s"regexp_matches(lower(chunk_text), '(^|[^0-9a-z])$t([^0-9a-z]|$$)')"
+      s"""WITH w AS ($W),
+          base AS (SELECT doc_id, arr, len(arr) AS n FROM w WHERE len(arr) >= 1),
+          ws AS (SELECT doc_id,
+            arr[(0 % n) + 1] AS w1, arr[(1 % n) + 1] AS w2,
+            arr[(2 % n) + 1] AS w3, arr[(3 % n) + 1] AS w4,
+            arr[(4 % n) + 1] AS w5, arr[(5 % n) + 1] AS w6,
+            arr[(6 % n) + 1] AS w7, arr[(7 % n) + 1] AS w8 FROM base),
+          chunks AS (
+            SELECT doc_id, '* ' || w1 || ' ' || w2 AS chunk_text FROM ws
+            UNION ALL
+            SELECT doc_id, w3 || ' ' || w4 || chr(10) || w5 FROM ws
+            UNION ALL
+            SELECT doc_id, '- ' || w6 || ' ' || w7 FROM ws
+            UNION ALL
+            SELECT doc_id, '#+title: ' || w8 FROM ws)
+          SELECT doc_id FROM chunks GROUP BY doc_id
+          HAVING bool_or(${wwc("order")}) AND bool_or(${wwc("batch")})
           ORDER BY doc_id"""
+    }
   )
 }
