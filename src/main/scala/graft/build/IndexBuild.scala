@@ -100,10 +100,15 @@ object IndexBuild {
     * bounds were computed with them, so queries must score with the same
     * values (reference analog: stats stale until compact).
     */
+  /** `chunkMode` is persisted so maintenance re-chunks changed documents
+    * with the SAME chunker the index was built with (the reference
+    * remembers each group's org flag, fts-lmdb.go:997-1006).
+    */
   final case class DocStats(nDocs: Long, sumDl: Long, avgdl: Double,
                             rangeSize: Long, nBuckets: Int, nRanges: Int,
                             k1: Double, b: Double, watermark: String,
-                            nextDocId: Long, docParts: Int = 8)
+                            nextDocId: Long, docParts: Int = 8,
+                            chunkMode: String = ChunkMode.Lines)
 
   final case class BuildStats(nDocs: Long, nChunkParts: Int, nTermBuckets: Int,
                               nGramBuckets: Int, resumedChunks: Int,
@@ -357,7 +362,7 @@ object IndexBuild {
     val rangeSize = math.max(1L, (nDocs + cfg.nRanges - 1) / cfg.nRanges)
     val stats = DocStats(nDocs, sumDl, if (n == 0) 1.0 else sumDl.toDouble / n,
       rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm, nextDocId = nDocs,
-      docParts = cfg.docParts)
+      docParts = cfg.docParts, chunkMode = cfg.chunkMode)
     writeDocStats(dir, stats)
     Manifest.append(dir, Manifest.Entry("ids", "all", n, 0L, wm,
       (System.nanoTime() - t0) / 1000000))
@@ -746,7 +751,7 @@ object IndexBuild {
         s""""range_size":${s.rangeSize},"n_buckets":${s.nBuckets},""" +
         s""""n_ranges":${s.nRanges},"k1":${s.k1},"b":${s.b},""" +
         s""""next_doc_id":${s.nextDocId},"doc_parts":${s.docParts},""" +
-        s""""watermark":"${s.watermark}"}"""
+        s""""chunk_mode":"${s.chunkMode}","watermark":"${s.watermark}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "docstats.json"),
       json.getBytes("UTF-8"))
   }
@@ -765,6 +770,8 @@ object IndexBuild {
       num("k1").toDouble, num("b").toDouble, str("watermark"),
       nextDocId = numOpt("next_doc_id").map(_.toLong)
         .getOrElse(num("n_docs").toLong),
-      docParts = numOpt("doc_parts").map(_.toInt).getOrElse(8))
+      docParts = numOpt("doc_parts").map(_.toInt).getOrElse(8),
+      chunkMode = Some(str("chunk_mode")).filter(_.nonEmpty)
+        .getOrElse(ChunkMode.Lines))
   }
 }

@@ -82,11 +82,14 @@ object Cli {
     show(df, n)
   }
 
-  /** Maintenance config matching the index's build parameters. */
+  /** Maintenance config matching the index's build parameters — including
+    * the chunk mode, so an update on an org-chunked index re-chunks with
+    * the org chunker (reference per-group org flag, fts-lmdb.go:997-1006).
+    */
   private def cfgFor(dir: String): IndexBuild.Config = {
     val s = IndexBuild.readDocStats(dir)
     IndexBuild.Config(nBuckets = s.nBuckets, nRanges = s.nRanges,
-      docParts = s.docParts)
+      docParts = s.docParts, chunkMode = s.chunkMode)
   }
 
   private def dispatch(args: Array[String]): Unit = args.toList match {

@@ -359,6 +359,36 @@ class MaintenanceSpec extends SparkSuite {
     assert(fresh == hitUrls.toSet - missingUrl - staleUrl)
   }
 
+  test("update on an org index re-chunks with the org chunker (persisted chunkMode)") {
+    val dir = tmpDir("maint-orgmode")
+    val orgCfg = cfg.copy(chunkMode = IndexBuild.ChunkMode.Org)
+    val ts1 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val t0 = "* alpha beta\ngamma delta\n\n- epsilon zeta\n"
+    val docs = Seq(("o://1", ts1, Array.empty[Byte], t0, "en"),
+      ("o://2", ts1, Array.empty[Byte], t0, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    IndexBuild.build(spark, docs, dir, orgCfg)
+    assert(IndexBuild.readDocStats(dir).chunkMode == IndexBuild.ChunkMode.Org)
+    // derive the maintenance config the way Cli does (from docstats):
+    // the org mode must survive the round trip or the delta would be
+    // re-chunked as lines (4 chunks incl. the blank line) instead of org
+    // elements (3)
+    val st = IndexBuild.readDocStats(dir)
+    val derived = IndexBuild.Config(nBuckets = st.nBuckets,
+      nRanges = st.nRanges, docParts = st.docParts, chunkMode = st.chunkMode)
+    val newDocs = docs
+      .withColumn("text", when($"url" === "o://2",
+        lit("* eta theta\niota kappa\n\n- lambda mu\n")).otherwise($"text"))
+      .withColumn("warc_ts", when($"url" === "o://2",
+        lit("2021-01-01 00:00:00").cast("timestamp")).otherwise($"warc_ts"))
+    assert(Maintenance.update(spark, dir, newDocs, derived) == (0L, 1L, 0L))
+    val chunks2 = Maintenance.liveDocs(spark, dir).where($"url" === "o://2")
+    assert(chunks2.count() == 3, "delta was not org-chunked")
+    val s = new Search(spark, dir)
+    assert(s.search(Seq("lambda")).select("chunk_text").as[String]
+      .collect().toSeq == Seq("- lambda mu"))
+  }
+
   test("update re-chunks only dirty docparts; clean parts never re-tokenized") {
     val dir = tmpDir("maint-upd")
     val base = WebCorpus.generate(spark, 80, seed = 33L, partitions = 2).cache()
