@@ -74,7 +74,15 @@ object IndexBuild {
       * multi-segment (key, range_id) groups so query cursor fan-in stays
       * bounded. 0 disables (manual `merge-segments` only).
       */
-    autoMergeSegments: Int = 8) {
+    autoMergeSegments: Int = 8,
+    /** When > 0, the doc-range count is derived as ceil(nDocs / this)
+      * instead of taken from `nRanges` — per-range kernel work and
+      * query-time range size stay CONSTANT as the corpus grows (more
+      * ranges = more parallelism), which is the 100 TB default: a fixed
+      * range count means every range, and every per-range posting walk,
+      * grows linearly with the corpus. `nRanges` is the floor/fallback.
+      */
+    targetRangeDocs: Long = 0L) {
     require(ChunkMode.All(chunkMode), s"unknown chunkMode: $chunkMode")
   }
 
@@ -359,9 +367,13 @@ object IndexBuild {
     val sumDl = Option(m("sum_dl")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val wm = Option(m("wm")).map(_.toString).getOrElse("")
     val nDocs = n
-    val rangeSize = math.max(1L, (nDocs + cfg.nRanges - 1) / cfg.nRanges)
+    val nRangesEff =
+      if (cfg.targetRangeDocs > 0)
+        math.max(1L, (nDocs + cfg.targetRangeDocs - 1) / cfg.targetRangeDocs).toInt
+      else cfg.nRanges
+    val rangeSize = math.max(1L, (nDocs + nRangesEff - 1) / nRangesEff)
     val stats = DocStats(nDocs, sumDl, if (n == 0) 1.0 else sumDl.toDouble / n,
-      rangeSize, cfg.nBuckets, cfg.nRanges, cfg.k1, cfg.b, wm, nextDocId = nDocs,
+      rangeSize, cfg.nBuckets, nRangesEff, cfg.k1, cfg.b, wm, nextDocId = nDocs,
       docParts = cfg.docParts, chunkMode = cfg.chunkMode)
     writeDocStats(dir, stats)
     Manifest.append(dir, Manifest.Entry("ids", "all", n, 0L, wm,
