@@ -347,7 +347,8 @@ class Search(spark: SparkSession, dir: String,
                   sortGlobal: Boolean = false,
                   limitPerGroup: Int = Int.MaxValue): DataFrame = {
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
-    val hydrated = docs.join(fuzzy(args, minRatio), Seq("doc_id"))
+    val hydrated = docs.join(fuzzy(args, minRatio).hint("SHUFFLE_HASH"),
+      Seq("doc_id"))
     if (sortGlobal) {
       val np = spark.sessionState.conf.numShufflePartitions
       val sorted = hydrated
@@ -406,7 +407,11 @@ class Search(spark: SparkSession, dir: String,
       if (minDf <= maxInlineCandidates) {
         val candIds = cands.select($"doc_id").as[Long].collect()
         docs.where($"doc_id".isInCollection(candIds))
-      } else docs.join(cands, Seq("doc_id"))
+      } else
+        // SHUFFLE_HASH with the id-only candidate side as build: a sort-
+        // merge join would sort the heavy chunk-text rows by doc_id just
+        // to probe them (the same anti-pattern the id stamp avoids)
+        docs.join(cands.hint("SHUFFLE_HASH"), Seq("doc_id"))
     val regexFiltered = filterRegex match {
       // reference -filter (fts-lmdb.go:1094-1099, applied at 1272); Java
       // dialect here vs the reference's RE2 — documented divergence
@@ -480,7 +485,7 @@ class Search(spark: SparkSession, dir: String,
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
     val perArg = args.zipWithIndex.map { case (a, i) =>
       val cands = candidates(Seq(a), partial)
-      docs.join(cands, Seq("doc_id"))
+      docs.join(cands.hint("SHUFFLE_HASH"), Seq("doc_id"))
         .where(verifyCol($"chunk_text", Seq(a), partial) >= 0)
         .select($"url").distinct()
         .withColumn("arg_i", lit(i))

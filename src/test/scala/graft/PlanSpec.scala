@@ -105,6 +105,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("verify_match"), "native verify expression missing from the plan")
   }
 
+  test("join-path hydration never sort-merge-joins the chunk store") {
+    // force the join path (inline gate 0): heavy chunk-text rows must be
+    // hash-probed, not sorted by doc_id for the join
+    val joinPath = new Search(spark, dir, maxInlineCandidates = 0)
+    for (df <- Seq(joinPath.search(Seq("the")),
+                   joinPath.fuzzySearch(Seq("the"), 0.3))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"chunk store sort-merge-joined:\n${p.take(600)}")
+    }
+  }
+
   test("cosineTopK broadcasts the query side, never the corpus") {
     import spark.implicits._
     val emb = (0L until 40L).map(i =>
