@@ -111,11 +111,14 @@ object IndexBuild {
   /** `chunkMode` is persisted so maintenance re-chunks changed documents
     * with the SAME chunker the index was built with (the reference
     * remembers each group's org flag, fts-lmdb.go:997-1006).
+    * `docParts == 0` means UNKNOWN (a docstats.json written before the
+    * field existed) — consumers must fall back to unpruned scans, never
+    * guess: pruning with a wrong modulus silently matches nothing.
     */
   final case class DocStats(nDocs: Long, sumDl: Long, avgdl: Double,
                             rangeSize: Long, nBuckets: Int, nRanges: Int,
                             k1: Double, b: Double, watermark: String,
-                            nextDocId: Long, docParts: Int = 8,
+                            nextDocId: Long, docParts: Int = 0,
                             chunkMode: String = ChunkMode.Lines)
 
   final case class BuildStats(nDocs: Long, nChunkParts: Int, nTermBuckets: Int,
@@ -782,7 +785,7 @@ object IndexBuild {
       num("k1").toDouble, num("b").toDouble, str("watermark"),
       nextDocId = numOpt("next_doc_id").map(_.toLong)
         .getOrElse(num("n_docs").toLong),
-      docParts = numOpt("doc_parts").map(_.toInt).getOrElse(8),
+      docParts = numOpt("doc_parts").map(_.toInt).getOrElse(0),
       chunkMode = Some(str("chunk_mode")).filter(_.nonEmpty)
         .getOrElse(ChunkMode.Lines))
   }

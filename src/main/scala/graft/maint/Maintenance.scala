@@ -78,11 +78,17 @@ object Maintenance {
     import spark.implicits._
     val dp = IndexBuild.readDocStats(dir).docParts
     val u = urls.select("url").distinct()
-      .withColumn("docpart", pmod(xxhash64(col("url")), lit(dp)).cast("int"))
-    val parts = u.select($"docpart").distinct().as[Int].collect()
+    // docParts unknown (legacy docstats.json): pruning with a guessed
+    // modulus would select partitions the urls are NOT in and silently
+    // match nothing — fall back to the unpruned join
+    if (dp <= 0)
+      return spark.read.parquet(IndexBuild.docsDir(dir)).join(u, Seq("url"))
+    val up = u.withColumn("docpart",
+      pmod(xxhash64(col("url")), lit(dp)).cast("int"))
+    val parts = up.select($"docpart").distinct().as[Int].collect()
     spark.read.parquet(IndexBuild.docsDir(dir))
       .where(col("docpart").isin(parts.toSeq: _*))
-      .join(u.select("url"), Seq("url"))
+      .join(u, Seq("url"))
   }
 
   /** Append tombstone rows for all not-yet-tombstoned doc rows of `urls`.
@@ -180,11 +186,22 @@ object Maintenance {
       java.nio.file.Files.move(fs.resolve("chunks_compacting"), fs.resolve("chunks"))
     }
     org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
-    org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("docs").toFile)
-    // counters/pending markers reset with the derived state
-    (Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup",
-      "seg_merge", "chunk_add", "dict_pending") ++ UpdateStages)
-      .foreach(Manifest.invalidateStage(dir, _))
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(IndexBuild.chunksDir(dir)))) {
+      // chunk scratch present: it is the corpus source — drop the derived
+      // state and rebuild from it
+      org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("docs").toFile)
+      // counters/pending markers reset with the derived state
+      (Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup",
+        "seg_merge", "chunk_add", "dict_pending") ++ UpdateStages)
+        .foreach(Manifest.invalidateStage(dir, _))
+    }
+    // else: the crash happened MID-REBUILD, after the ids stage committed
+    // the docs store and cleanup deleted the scratch (cleanup only runs
+    // once ids is durable, IndexBuild.build ordering) — the docs store is
+    // the one surviving corpus copy. Deleting it here would destroy the
+    // index; instead keep every completed stage's manifest state and let
+    // rebuildDerived resume the remaining stages bucket-level.
     rebuildDerived(spark, dir, cfg)
     Manifest.invalidateStage(dir, "compacting")
   }
@@ -267,8 +284,13 @@ object Maintenance {
     val keyRow = delta
       .agg(expr("bit_xor(xxhash64(url, CAST(n_ts AS string)))").as("h"),
         count(lit(1)).as("c")).head()
-    val deltaKey = java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1)
     diff.unpersist()
+    if (keyRow.getLong(1) == 0) {
+      // deletion-only snapshot: the tombstones above are the whole update
+      // (the bit_xor of an empty delta is NULL — there is no batch to key)
+      return (0L, 0L, nDeleted)
+    }
+    val deltaKey = java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1)
 
     // 2. chunk + tokenize the delta only
     val chunkMode = cfg.chunkMode
@@ -328,13 +350,12 @@ object Maintenance {
         .parquet(IndexBuild.gramPostingsDir(dir))
       nDeltaChunks
     }
-    // 5. merge dictionaries: delta segment metadata (first_doc >= base
-    //    prunes to appended rows) summed into the old dictionaries; pending
-    //    deferred-add contributions (ids < base) fold into the same rewrite
+    // 5. dictionaries: idempotent full recompute from segment metadata —
+    //    this batch's appended segments AND any pending deferred-add
+    //    contributions are all on disk by now
     guarded("upd_dict") {
-      val pend = Manifest.completed(dir, "dict_pending").map(_.toLong)
-      mergeDictionaries(spark, dir, (pend + base).min)
-      if (pend.nonEmpty) Manifest.invalidateStage(dir, "dict_pending")
+      rebuildDictionaries(spark, dir)
+      Manifest.invalidateStage(dir, "dict_pending")
       0L
     }
 
@@ -364,14 +385,14 @@ object Maintenance {
     * allocation — this is the reference's single-chunk CLI op, not a bulk
     * path (use [[update]] for bulk). Returns the new doc id.
     *
-    * `mergeDict=false` defers the dictionary merge: the chunk is recorded
-    * as a `dict_pending` manifest entry and N deferred adds pay ONE
-    * dictionary rewrite at the next [[flushDict]] / merging add / update —
-    * the segment metadata's `first_doc >= base` pruning already identifies
-    * every unmerged segment, so batching is free. Between the add and the
-    * flush the chunk is INVISIBLE to dictionary-gated retrieval (a gram/
-    * term absent from the dictionary short-circuits to empty) — deferral
-    * trades read-your-write for O(1) dictionary work per add.
+    * `mergeDict=false` defers the dictionary rewrite: the chunk is
+    * recorded as a `dict_pending` manifest entry and N deferred adds pay
+    * ONE dictionary recompute at the next [[flushDict]] / merging add /
+    * update (the recompute aggregates segment metadata, so batching is
+    * free and idempotent). Between the add and the flush the chunk is
+    * INVISIBLE to dictionary-gated retrieval (a gram/term absent from the
+    * dictionary short-circuits to empty) — deferral trades read-your-write
+    * for O(1) dictionary work per add.
     */
   def addChunk(spark: SparkSession, dir: String, url: String, data: String,
                grams: Seq[Int], warcTs: java.sql.Timestamp,
@@ -411,9 +432,8 @@ object Maintenance {
       .write.mode("append").partitionBy("bucket")
       .parquet(IndexBuild.gramPostingsDir(dir))
     if (mergeDict) {
-      val pend = Manifest.completed(dir, "dict_pending").map(_.toLong)
-      mergeDictionaries(spark, dir, (pend + docId).min)
-      if (pend.nonEmpty) Manifest.invalidateStage(dir, "dict_pending")
+      rebuildDictionaries(spark, dir)
+      Manifest.invalidateStage(dir, "dict_pending")
     } else
       Manifest.append(dir, Manifest.Entry("dict_pending", docId.toString,
         1L, 0L, "", 0L))
@@ -428,14 +448,16 @@ object Maintenance {
     docId
   }
 
-  /** Merge every pending deferred-add dictionary contribution in ONE
-    * rewrite (see [[addChunk]] `mergeDict=false`). Returns the number of
-    * pending chunks folded in.
+  /** Fold every pending deferred-add dictionary contribution in ONE
+    * idempotent rewrite (see [[addChunk]] `mergeDict=false`). A crash
+    * between the rewrite and the pending-marker clear just repeats the
+    * identical recompute on the next flush. Returns the number of pending
+    * chunks folded in.
     */
   def flushDict(spark: SparkSession, dir: String): Long = {
     val pend = Manifest.completed(dir, "dict_pending").map(_.toLong)
     if (pend.isEmpty) return 0L
-    mergeDictionaries(spark, dir, pend.min)
+    rebuildDictionaries(spark, dir)
     Manifest.invalidateStage(dir, "dict_pending")
     pend.size.toLong
   }
@@ -472,51 +494,42 @@ object Maintenance {
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
   }
 
-  /** Merge delta posting metadata (segments with first_doc >= base — all
-    * appended by this batch or an orphaned predecessor with the same base)
-    * into the term + gram dictionaries. df/cf keep counting tombstoned
-    * postings until compact, like the reference.
+  /** Recompute BOTH dictionaries from segment metadata (postings column
+    * pruned) and atomically swap them in. IDEMPOTENT — an additive
+    * delta merge (old + first_doc>=base) double-counts if a crash lands
+    * between the rewrite and its bookkeeping and the merge re-runs; the
+    * full recompute just repeats the identical rewrite. Exact across
+    * splices too (spliceShards preserves per-segment n_docs/sum_tf/
+    * max_tf sums). Cost parity: the additive variant rewrote the whole
+    * dictionary anyway (full-outer join + swap), so only the metadata
+    * scan side grows — and it is postings-column-pruned. df/cf keep
+    * counting tombstoned postings until compact, like the reference.
     */
-  private def mergeDictionaries(spark: SparkSession, dir: String, base: Long): Unit = {
-    val post = spark.read.parquet(IndexBuild.termPostingsDir(dir))
-      .where(col("first_doc") >= base)
-    val deltaDict = post.groupBy(col("key").as("term"))
-      .agg(sum("n_docs").as("d_df"), sum("sum_tf").as("d_cf"),
-        max("max_tf").as("d_max"))
-    val old = spark.read.parquet(IndexBuild.dictDir(dir))
-    val merged = old.join(deltaDict, old("term") === deltaDict("term"), "full_outer")
-      .select(coalesce(old("term"), deltaDict("term")).as("term"),
-        (coalesce(old("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
-        (coalesce(old("cf"), lit(0L)) + coalesce(col("d_cf"), lit(0L))).as("cf"),
-        greatest(coalesce(old("max_tf"), lit(0)), coalesce(col("d_max"), lit(0))).as("max_tf"))
+  private def rebuildDictionaries(spark: SparkSession, dir: String): Unit = {
+    val seg = spark.read.parquet(IndexBuild.termPostingsDir(dir))
+      .groupBy(col("key").as("term"))
+      .agg(sum("n_docs").as("df"), sum("sum_tf").as("cf"),
+        max("max_tf").as("max_tf"))
       .repartitionByRange(8, col("term")).sortWithinPartitions("term")
-    swapWrite(merged, IndexBuild.dictDir(dir))
-    val gpost = spark.read.parquet(IndexBuild.gramPostingsDir(dir))
-      .where(col("first_doc") >= base)
-    val gDelta = gpost.groupBy(substring(col("key"), 2, 10).cast("int").as("gram"))
-      .agg(sum("n_docs").as("d_df"))
-    val gOld = spark.read.parquet(IndexBuild.gramDictDir(dir))
-    val gMerged = gOld.join(gDelta, gOld("gram") === gDelta("gram"), "full_outer")
-      .select(coalesce(gOld("gram"), gDelta("gram")).as("gram"),
-        (coalesce(gOld("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"))
+    swapWrite(seg, IndexBuild.dictDir(dir))
+    val gseg = spark.read.parquet(IndexBuild.gramPostingsDir(dir))
+      .groupBy(substring(col("key"), 2, 10).cast("int").as("gram"))
+      .agg(sum("n_docs").as("df"))
       .repartitionByRange(8, col("gram")).sortWithinPartitions("gram")
-    swapWrite(gMerged, IndexBuild.gramDictDir(dir))
+    swapWrite(gseg, IndexBuild.gramDictDir(dir))
   }
 
   /** Coalesce multi-segment (key, range_id) groups left by incremental
     * appends into single segments with [[Postings.spliceShards]] — a
     * byte-level directory/payload splice, no posting re-encoding. Only
     * buckets that contain multi-segment groups are rewritten. Returns the
-    * number of rewritten buckets.
-    *
-    * Any pending deferred-add dictionary merges are flushed FIRST: splicing
-    * rewrites `first_doc` to the earliest segment's, which would break the
-    * `first_doc >= base` pruning the pending merge relies on.
+    * number of rewritten buckets. Safe in any order relative to pending
+    * dictionary flushes: splices preserve per-segment n_docs/sum_tf/max_tf
+    * sums and the dictionary recompute is a full metadata aggregation.
     */
   def mergeSegments(spark: SparkSession, dir: String,
                     gramsTable: Boolean): Long = {
     import spark.implicits._
-    flushDict(spark, dir)
     val path = if (gramsTable) IndexBuild.gramPostingsDir(dir)
                else IndexBuild.termPostingsDir(dir)
     // metadata-only scan (postings column pruned) to find affected buckets
@@ -556,7 +569,13 @@ object Maintenance {
                              cfg: IndexBuild.Config): Unit = {
     // re-run the build with chunks complete: only derived stages execute.
     // Feed an empty docs frame — the chunks stage is already satisfied.
-    val emptyDocs = spark.read.parquet(IndexBuild.chunksDir(dir))
+    // Schema source: the chunk scratch, or the docs store when resuming a
+    // mid-rebuild crash (cleanup already consumed the scratch; both carry
+    // the chunk columns).
+    val chunksP = java.nio.file.Paths.get(IndexBuild.chunksDir(dir))
+    val srcDir = if (java.nio.file.Files.exists(chunksP))
+      IndexBuild.chunksDir(dir) else IndexBuild.docsDir(dir)
+    val emptyDocs = spark.read.parquet(srcDir)
       .select(col("url"), col("warc_ts"), col("lang"), col("chunk_text").as("text"))
       .limit(0)
     IndexBuild.build(spark, emptyDocs, dir, cfg)

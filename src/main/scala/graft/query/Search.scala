@@ -456,9 +456,13 @@ class Search(spark: SparkSession, dir: String,
       .join(graft.maint.Maintenance.tombstones(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .groupBy($"url").agg(max($"warc_ts").as("indexed_ts"))
-    val cur = currentDocs.select($"url", $"warc_ts".as("cur_ts"))
-    indexed.join(cur.join(broadcast(indexed.select("url")), Seq("url"), "left_semi"),
-        Seq("url"), "left_outer")
+    // one row per url even if the current table carries multiple versions
+    // (changelog-style): the NEWEST version is "the file's mtime" — a url
+    // is fresh iff that newest version is the indexed one
+    val cur = currentDocs.select($"url", $"warc_ts")
+      .join(broadcast(indexed.select("url")), Seq("url"), "left_semi")
+      .groupBy($"url").agg(max($"warc_ts").as("cur_ts"))
+    indexed.join(cur, Seq("url"), "left_outer")
       .select($"url", when($"cur_ts".isNull, "missing")
         .when($"cur_ts" =!= $"indexed_ts", "stale").as("status"))
       .where($"status".isNotNull)

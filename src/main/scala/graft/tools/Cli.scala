@@ -76,10 +76,16 @@ object Cli {
 
   private def show(df: DataFrame, n: Int = 50): Unit = df.show(n, truncate = false)
 
-  /** Show + reference empty-result contract: exit 1 when no rows. */
+  /** Show + reference empty-result contract: exit 1 when no rows. ONE
+    * distributed execution: take(n+1) feeds both the emptiness check and
+    * a driver-local frame for show's rendering (incl. its top-n marker).
+    */
   private def showR(df: DataFrame, n: Int = 50): Unit = {
-    if (df.isEmpty) { System.err.println("no results"); exit(1) }
-    show(df, n)
+    val rows = df.take(n + 1)
+    if (rows.isEmpty) { System.err.println("no results"); exit(1) }
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    local.show(n, truncate = false)
   }
 
   /** Maintenance config matching the index's build parameters — including
@@ -88,8 +94,11 @@ object Cli {
     */
   private def cfgFor(dir: String): IndexBuild.Config = {
     val s = IndexBuild.readDocStats(dir)
+    // docParts 0 = legacy docstats without the field; 8 was the only
+    // default that version's CLI ever wrote
     IndexBuild.Config(nBuckets = s.nBuckets, nRanges = s.nRanges,
-      docParts = s.docParts, chunkMode = s.chunkMode)
+      docParts = if (s.docParts > 0) s.docParts else 8,
+      chunkMode = s.chunkMode)
   }
 
   private def dispatch(args: Array[String]): Unit = args.toList match {
@@ -150,10 +159,9 @@ object Cli {
       docsPath.foreach { p =>
         val cur = spark.read.parquet(p)
         if (rest.contains("-f"))
-          // -f: skip stale/missing groups (findBadFiles skip path)
-          df = df.join(org.apache.spark.sql.functions.broadcast(
-            eng.badFiles(df.select("url").distinct(), cur).select("url")),
-            Seq("url"), "left_anti")
+          // -f: skip stale/missing groups (findBadFiles skip path) — one
+          // source of truth for the semantics
+          df = eng.searchFresh(terms, cur)
         else {
           val bad = eng.badFiles(df.select("url").distinct(), cur)
             .collect().map(r => (r.getString(0), r.getString(1)))

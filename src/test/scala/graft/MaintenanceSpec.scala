@@ -280,6 +280,60 @@ class MaintenanceSpec extends SparkSuite {
     assert(!gotUrls.contains(victim))
   }
 
+  test("compact resume after a MID-REBUILD crash never deletes the docs store") {
+    val dir = tmpDir("maint-crash2")
+    val docs = WebCorpus.generate(spark, 40, seed = 29L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val victim = docs.select("url").orderBy("url").head().getString(0)
+    Maintenance.delete(spark, dir, Seq(victim))
+    Maintenance.compact(spark, dir, cfg)
+    val want = new Search(spark, dir).search(Seq("the"))
+      .select("url").distinct().as[String].collect().toSet
+
+    // crash window: rebuildDerived got past ids+cleanup (chunk scratch
+    // consumed, docs store committed) but died before the marker clear —
+    // chunks/ is GONE and docs/ is the ONLY corpus copy. A resume that
+    // blindly deletes docs/ destroys the index.
+    graft.build.Manifest.append(dir,
+      graft.build.Manifest.Entry("compacting", "swap", 0L, 0L, "", 0L))
+    assert(!Files.exists(Paths.get(dir, "chunks"))) // cleanup already ran
+    // also knock out the postings of one bucket to make the resume do work
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      Paths.get(IndexBuild.termPostingsDir(dir), "bucket=0").toFile)
+    val kept = graft.build.Manifest.entries(dir).filterNot(l =>
+      l.contains("\"stage\":\"postings_terms\"") && l.contains("\"unit\":\"0\""))
+    Files.write(Paths.get(dir, "manifest.jsonl"),
+      kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    Maintenance.compact(spark, dir, cfg)
+    assert(Files.exists(Paths.get(dir, "docs")), "docs store destroyed")
+    assert(graft.build.Manifest.completed(dir, "compacting").isEmpty)
+    val got = new Search(spark, dir).search(Seq("the"))
+      .select("url").distinct().as[String].collect().toSet
+    assert(got == want)
+  }
+
+  test("deletion-only snapshot update tombstones and returns (0,0,n)") {
+    val dir = tmpDir("maint-delonly")
+    val base = WebCorpus.generate(spark, 30, seed = 31L, partitions = 2).cache()
+    IndexBuild.build(spark, base, dir, cfg)
+    val dropUrl = base.select("url").orderBy("url").head().getString(0)
+    val newDocs = base.where($"url" =!= dropUrl)
+    assert(Maintenance.update(spark, dir, newDocs, cfg) == (0L, 0L, 1L))
+    assert(Maintenance.tombstones(spark, dir).select("url").distinct()
+      .as[String].collect().toSeq == Seq(dropUrl))
+    // re-run is a clean no-op, and a later real update still works
+    assert(Maintenance.update(spark, dir, newDocs, cfg) == (0L, 0L, 0L))
+    val changedUrl = base.select("url").orderBy(desc("url")).head().getString(0)
+    val newDocs2 = newDocs
+      .withColumn("text", when($"url" === changedUrl,
+        lit("a vicuna appears\n")).otherwise($"text"))
+      .withColumn("warc_ts", when($"url" === changedUrl,
+        lit("2024-01-01 00:00:00").cast("timestamp")).otherwise($"warc_ts"))
+    assert(Maintenance.update(spark, dir, newDocs2, cfg) == (0L, 1L, 0L))
+    assert(new Search(spark, dir).search(Seq("vicuna")).count() == 1)
+  }
+
   test("auto segment-merge fires after N appends and keeps results identical") {
     val dir = tmpDir("maint-autom")
     val amCfg = cfg.copy(autoMergeSegments = 3)
@@ -357,6 +411,15 @@ class MaintenanceSpec extends SparkSuite {
     val fresh = s.searchFresh(Seq("the"), cur).select("url").distinct()
       .as[String].collect().toSet
     assert(fresh == hitUrls.toSet - missingUrl - staleUrl)
+    // changelog-style current table (multiple versions per url): a url
+    // whose NEWEST version matches the index is fresh — an old version
+    // row must not flag it stale
+    val curMulti = cur.unionByName(
+      docs.where($"url" === hitUrls(2)).select($"url",
+        lit("2001-01-01 00:00:00").cast("timestamp").as("warc_ts")))
+    val bad2 = s.badFiles(s.search(Seq("the")).select("url").distinct(), curMulti)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad2 == Map(missingUrl -> "missing", staleUrl -> "stale"))
   }
 
   test("update on an org index re-chunks with the org chunker (persisted chunkMode)") {
