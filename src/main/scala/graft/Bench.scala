@@ -93,17 +93,18 @@ object Bench {
     val corpus = spark.read.parquet(corpusDir(spark, nDocs))
     var results = scala.collection.immutable.ListMap.empty[String, Double]
     var maint = scala.collection.immutable.ListMap.empty[String, Double]
-    // identical index layout at every CPU level: same logical job
+    // ONE config for build AND maintenance: the maintenance path addresses
+    // docparts/buckets with this modulus, so a drifted copy would measure
+    // a corrupted path. Fixed 32-range layout at every corpus size/CPU
+    // level (identical to rounds 1-2 for comparability);
+    // Config.targetRangeDocs is the cluster-scale alternative (constant
+    // per-range size) — measured at 10.24M pages it trades ~7 pp of build
+    // throughput for ~12% on the hot disjunctive query, so the bench
+    // keeps the fixed layout.
+    val benchCfg = IndexBuild.Config(nBuckets = 16, nRanges = 32,
+      docParts = 32, shufflePartitions = FixedShufflePartitions)
     val (bstats, buildSec) = time {
-      // fixed 32-range layout at every corpus size/CPU level (identical to
-      // rounds 1-2 for comparability). Config.targetRangeDocs is the
-      // cluster-scale alternative (constant per-range size); measured at
-      // 10.24M pages it trades ~7 pp of build throughput for ~12% on the
-      // hot disjunctive query — scan volume, not range count, dominates
-      // at this scale, so the bench keeps the fixed layout.
-      IndexBuild.build(spark, corpus, idxDir, IndexBuild.Config(
-        nBuckets = 16, nRanges = 32, docParts = 32,
-        shufflePartitions = FixedShufflePartitions))
+      IndexBuild.build(spark, corpus, idxDir, benchCfg)
     }
     results += "index_build" -> buildSec
     val search = new Search(spark, idxDir)
@@ -125,8 +126,6 @@ object Bench {
     // through the distributed cogroup dead-id path (inline gate = 0)
     if (!sys.env.get("SPARK_GRAFT_MAINT").contains("0")) {
       import org.apache.spark.sql.functions._
-      val benchCfg = IndexBuild.Config(nBuckets = 16, nRanges = 32,
-        docParts = 32, shufflePartitions = FixedShufflePartitions)
       val delta = corpus
         .where(pmod(xxhash64(col("url")), lit(100L)) === 0)
         .withColumn("text", concat(lit("updated delta words "), col("text")))

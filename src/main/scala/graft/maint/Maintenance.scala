@@ -185,7 +185,22 @@ object Maintenance {
       org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("chunks").toFile)
       java.nio.file.Files.move(fs.resolve("chunks_compacting"), fs.resolve("chunks"))
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
+    // Tombstones present on a RESUMED run may include deletes issued AFTER
+    // the marker (between the crash and this re-run) — never applied to the
+    // compacted snapshot. Stash them and re-apply by (url, warc_ts) after
+    // the rebuild: pre-compact tombstones' versions no longer exist in the
+    // compacted store (re-apply is a no-op for them), late deletes
+    // re-resolve their doc ids against the fresh id space.
+    val stashP = fs.resolve("tombstones_reapply")
+    if (pending && java.nio.file.Files.exists(fs.resolve("tombstones"))) {
+      if (!java.nio.file.Files.exists(stashP))
+        java.nio.file.Files.move(fs.resolve("tombstones"), stashP)
+      else
+        // a previous resume already stashed; the stash stays the source of
+        // truth — drop the partially re-applied rows and redo from it
+        org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
+    } else
+      org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(IndexBuild.chunksDir(dir)))) {
       // chunk scratch present: it is the corpus source — drop the derived
@@ -203,6 +218,14 @@ object Maintenance {
     // index; instead keep every completed stage's manifest state and let
     // rebuildDerived resume the remaining stages bucket-level.
     rebuildDerived(spark, dir, cfg)
+    if (java.nio.file.Files.exists(stashP)) {
+      val stash = spark.read.parquet(stashP.toString)
+      val rows = docsOfUrls(spark, dir, stash.select("url"))
+        .join(stash.select("url", "warc_ts").distinct(), Seq("url", "warc_ts"))
+        .select(col("url"), col("warc_ts"), col("doc_id"))
+      if (!rows.isEmpty) rows.write.mode("append").parquet(tombstonesDir(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(stashP.toFile)
+    }
     Manifest.invalidateStage(dir, "compacting")
   }
 
@@ -227,19 +250,17 @@ object Maintenance {
                            partialSnapshot: Boolean): DataFrame = {
     import spark.implicits._
     val incoming = newDocs
-      .withColumn("n_part", pmod(xxhash64($"url"), lit(cfg.docParts)).cast("int"))
-      .select($"url".as("n_url"), $"warc_ts".as("n_ts"), $"n_part")
+      .select($"url".as("n_url"), $"warc_ts".as("n_ts"))
     val tomb = tombstones(spark, dir).select($"url", $"warc_ts").distinct()
-    val chunkVersions0 = spark.read.parquet(IndexBuild.docsDir(dir))
-      .select($"url", $"warc_ts", $"docpart")
     val chunkVersions =
-      if (!partialSnapshot) chunkVersions0
-      else {
-        // changelog batch: only the batch's docparts can contain its urls —
-        // prune the docs-store scan to those partitions (O(dirty parts))
-        val parts = incoming.select($"n_part").distinct().as[Int].collect()
-        chunkVersions0.where($"docpart".isin(parts.toSeq: _*))
-      }
+      if (!partialSnapshot)
+        spark.read.parquet(IndexBuild.docsDir(dir)).select($"url", $"warc_ts")
+      else
+        // changelog batch: only the batch urls' docparts can contain them —
+        // one shared docpart-pruned scan (docsOfUrls, which also carries
+        // the legacy-docstats unpruned fallback)
+        docsOfUrls(spark, dir, incoming.select($"n_url".as("url")))
+          .select($"url", $"warc_ts")
     // one row per url: the group's current version is its newest live
     // timestamp (addChunk can add rows under a newer ts without making a
     // new "version"; reference lastChanged is likewise the most recent)

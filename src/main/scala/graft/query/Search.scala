@@ -470,14 +470,20 @@ class Search(spark: SparkSession, dir: String,
 
   /** [[search]] with stale/missing groups dropped (reference `search -f`:
     * skip bad files instead of erroring, fts-lmdb.go:1117-1120).
+    * The bad-url set is collected once (bounded: it is a subset of the
+    * hit urls) and applied as a pushed-down filter, so the search
+    * pipeline executes twice total (badFiles derivation + the returned
+    * frame), not once more per join input.
     */
   def searchFresh(args: Seq[String], currentDocs: DataFrame,
                   partial: Boolean = false,
                   limitPerGroup: Int = Int.MaxValue,
                   filterRegex: Option[String] = None): DataFrame = {
     val hits = search(args, partial, limitPerGroup, filterRegex)
-    val bad = badFiles(hits.select("url").distinct(), currentDocs)
-    hits.join(broadcast(bad.select("url")), Seq("url"), "left_anti")
+    val badUrls = badFiles(hits.select("url").distinct(), currentDocs)
+      .select("url").as[String].collect()
+    if (badUrls.isEmpty) hits
+    else hits.where(!$"url".isInCollection(badUrls.toSeq))
   }
 
   /** File-cover search (reference -file mode, intersectFileGrams

@@ -109,6 +109,7 @@ object GoFormat {
       else {
         var j = i + 1
         var explicitIdx = false
+        val prevArgIdx = argIdx
         if (fmt.charAt(j) == '[') {
           val close = fmt.indexOf(']', j)
           if (close > j + 1 &&
@@ -127,7 +128,11 @@ object GoFormat {
           val verb = fmt.charAt(j)
           val missing = argIdx < 0 || argIdx >= args.length
           val a = if (!missing) args(argIdx) else null
-          argIdx += 1
+          val badExplicit = missing && explicitIdx
+          // Go does not apply an out-of-range explicit index: the cursor
+          // keeps its previous value, so following implicit verbs print
+          // the real args (fmt's argNumber leaves argNum on BADINDEX)
+          argIdx = if (badExplicit) prevArgIdx else argIdx + 1
           if (missing)
             // Go: implicit cursor past the args prints %!<verb>(MISSING);
             // an explicit [N] out of range prints %!<verb>(BADINDEX)

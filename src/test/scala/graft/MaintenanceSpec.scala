@@ -304,13 +304,18 @@ class MaintenanceSpec extends SparkSuite {
       l.contains("\"stage\":\"postings_terms\"") && l.contains("\"unit\":\"0\""))
     Files.write(Paths.get(dir, "manifest.jsonl"),
       kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // a delete issued INSIDE the crash window (between crash and resume)
+    // must survive the resumed compact, not be silently dropped with the
+    // pre-compact tombstones
+    val lateVictim = want.toSeq.sorted.head
+    Maintenance.delete(spark, dir, Seq(lateVictim))
 
     Maintenance.compact(spark, dir, cfg)
     assert(Files.exists(Paths.get(dir, "docs")), "docs store destroyed")
     assert(graft.build.Manifest.completed(dir, "compacting").isEmpty)
     val got = new Search(spark, dir).search(Seq("the"))
       .select("url").distinct().as[String].collect().toSet
-    assert(got == want)
+    assert(got == want - lateVictim, "late delete lost or resume diverged")
   }
 
   test("deletion-only snapshot update tombstones and returns (0,0,n)") {

@@ -54,6 +54,8 @@ class GoFormatSpec extends AnyFunSuite {
     assert(GoFormat.format("%s %s", "a") == "a %!s(MISSING)")
     assert(GoFormat.format("%d", Seq.empty: _*) == "%!d(MISSING)")
     assert(GoFormat.format("%[9]s", "a") == "%!s(BADINDEX)")
+    // a bad explicit index does NOT move the cursor (Go keeps argNum)
+    assert(GoFormat.format("%[5]d %d", 1, 2) == "%!d(BADINDEX) 1")
   }
 
   test("printfGuarded: literal-only formats print as-is") {
