@@ -286,9 +286,12 @@ object Maintenance {
              partialSnapshot: Boolean = false): (Long, Long, Long) = {
     import spark.implicits._
     val diff = diffVersions(spark, dir, newDocs, cfg, partialSnapshot).cache()
-    val nDeleted = diff.where($"action" === "deleted").count()
-    val nNew = diff.where($"action" === "added").count()
-    val nChanged = diff.where($"action" === "changed").count()
+    // one job for all three action counts (not three filtered .count()s)
+    val actionCounts = diff.groupBy($"action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDeleted = actionCounts.getOrElse("deleted", 0L)
+    val nNew = actionCounts.getOrElse("added", 0L)
+    val nChanged = actionCounts.getOrElse("changed", 0L)
     if (nDeleted + nNew + nChanged == 0) { diff.unpersist(); return (0, 0, 0) }
 
     // 1. tombstone every stale version (changed urls' old docs + deleted
