@@ -358,7 +358,7 @@ class Search(spark: SparkSession, dir: String,
         .as[(String, Long, Int, Long, Double, String)]
       // the sort key is total (doc_id is unique), so offset+local-index
       // reproduces row_number exactly, independent of range boundaries
-      val ranked = sorted.rdd.zipWithIndex.map {
+      val ranked = sorted.rdd.zipWithIndex().map {
         case ((url, id, line, hits, ratio, text), i) =>
           (url, id, line, hits, ratio, text, i + 1)
       }
