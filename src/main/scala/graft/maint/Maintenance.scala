@@ -155,6 +155,12 @@ object Maintenance {
     * state rebuilt" is recoverable by calling compact() again, which the
     * pre-marker version of this path could not do (tombstones-empty made
     * the re-run a no-op while docs/postings were already gone).
+    *
+    * Read correctness DURING a crashed compact: the tombstones dir is
+    * removed strictly after the stale docs store, so there is no state in
+    * which the old docs store is readable without its tombstones — searches
+    * between a crash and the compact re-run either see the correct
+    * tombstone-filtered view or fail fast on the missing docs dir.
     */
   def compact(spark: SparkSession, dir: String, cfg: IndexBuild.Config): Unit = {
     import spark.implicits._
@@ -192,25 +198,36 @@ object Maintenance {
     // compacted store (re-apply is a no-op for them), late deletes
     // re-resolve their doc ids against the fresh id space.
     val stashP = fs.resolve("tombstones_reapply")
-    if (pending && java.nio.file.Files.exists(fs.resolve("tombstones"))) {
-      if (!java.nio.file.Files.exists(stashP))
-        java.nio.file.Files.move(fs.resolve("tombstones"), stashP)
-      else
-        // a previous resume already stashed; the stash stays the source of
-        // truth — drop the partially re-applied rows and redo from it
+    def stashOrDropTombstones(): Unit =
+      if (pending && java.nio.file.Files.exists(fs.resolve("tombstones"))) {
+        if (!java.nio.file.Files.exists(stashP))
+          java.nio.file.Files.move(fs.resolve("tombstones"), stashP)
+        else
+          // a previous resume already stashed; the stash stays the source of
+          // truth — drop the partially re-applied rows and redo from it
+          org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
+      } else
         org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
-    } else
-      org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("tombstones").toFile)
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(IndexBuild.chunksDir(dir)))) {
       // chunk scratch present: it is the corpus source — drop the derived
-      // state and rebuild from it
+      // state and rebuild from it. ORDER MATTERS for crash safety: the
+      // tombstones are removed only AFTER the stale docs store is gone, so
+      // a crash anywhere before this point leaves reads tombstone-filtered
+      // (old docs + tombstones = correct live view); after it, a read fails
+      // loudly on the missing docs dir instead of silently resurrecting
+      // deleted documents.
       org.apache.commons.io.FileUtils.deleteQuietly(fs.resolve("docs").toFile)
+      stashOrDropTombstones()
       // counters/pending markers reset with the derived state
       (Seq("ids", "postings_terms", "postings_grams", "dictionary", "cleanup",
         "seg_merge", "chunk_add", "dict_pending") ++ UpdateStages)
         .foreach(Manifest.invalidateStage(dir, _))
-    }
+    } else
+      // mid-rebuild resume (scratch already consumed): the docs store is
+      // the compacted corpus; any tombstones here are late deletes against
+      // the new id space — stash them for the post-rebuild re-apply
+      stashOrDropTombstones()
     // else: the crash happened MID-REBUILD, after the ids stage committed
     // the docs store and cleanup deleted the scratch (cleanup only runs
     // once ids is durable, IndexBuild.build ordering) — the docs store is

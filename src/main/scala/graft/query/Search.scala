@@ -345,33 +345,42 @@ class Search(spark: SparkSession, dir: String,
     */
   def fuzzySearch(args: Seq[String], minRatio: Double,
                   sortGlobal: Boolean = false,
-                  limitPerGroup: Int = Int.MaxValue): DataFrame = {
+                  limitPerGroup: Int = Int.MaxValue,
+                  /** also emit `position` (rune_off+1, the reference
+                    * chunkInfo start field) for display rendering; off by
+                    * default so the relational output schema is stable */
+                  includePosition: Boolean = false): DataFrame = {
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
     val hydrated = docs.join(fuzzy(args, minRatio).hint("SHUFFLE_HASH"),
       Seq("doc_id"))
-    if (sortGlobal) {
+    val framed = if (sortGlobal) {
       val np = spark.sessionState.conf.numShufflePartitions
       val sorted = hydrated
-        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text")
+        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text",
+          ($"rune_off" + 1).as("position"))
         .repartitionByRange(np, $"ratio".asc, $"url".asc, $"doc_id".asc)
         .sortWithinPartitions($"ratio".asc, $"url".asc, $"doc_id".asc)
-        .as[(String, Long, Int, Long, Double, String)]
+        .as[(String, Long, Int, Long, Double, String, Long)]
       // the sort key is total (doc_id is unique), so offset+local-index
       // reproduces row_number exactly, independent of range boundaries
       val ranked = sorted.rdd.zipWithIndex().map {
-        case ((url, id, line, hits, ratio, text), i) =>
-          (url, id, line, hits, ratio, text, i + 1)
+        case ((url, id, line, hits, ratio, text, pos), i) =>
+          (url, id, line, hits, ratio, text, pos, i + 1)
       }
       spark.createDataFrame(ranked)
-        .toDF("url", "doc_id", "line", "hits", "ratio", "chunk_text", "rn")
+        .toDF("url", "doc_id", "line", "hits", "ratio", "chunk_text",
+          "position", "rn")
         .orderBy($"rn")
     } else {
       val w = Window.partitionBy($"url").orderBy($"ratio".desc, $"doc_id".asc)
       hydrated.withColumn("rn", row_number().over(w))
         .where($"rn" <= limitPerGroup)
-        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text", $"rn")
+        .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text",
+          ($"rune_off" + 1).as("position"), $"rn")
         .orderBy($"url", $"rn")
     }
+    if (includePosition) framed
+    else framed.drop("position")
   }
 
   // ------------------------------------------------------- full search
@@ -442,8 +451,11 @@ class Search(spark: SparkSession, dir: String,
     * fts-lmdb.go:1109-1126, which stats each hit's file): compare the
     * given urls' newest live indexed version against a current docs table.
     * Returns (url, status) with status `missing` (url absent from
-    * `currentDocs` — reference exit 2) or `stale` (version differs —
-    * reference exit 3).
+    * `currentDocs` — reference exit 2) or `stale` (current version strictly
+    * NEWER than the indexed one — reference exit 3). Strictly newer, not
+    * merely different: the reference flags `ModTime().After(lastChanged)`
+    * (fts-lmdb.go:1118), so a current version OLDER than the indexed one is
+    * fresh — e.g. a file restored from backup after indexing a newer edit.
     *
     * Scale shape: `urls` is the hit-url set (bounded by the result), so
     * the indexed-version lookup runs docpart-pruned over the docs store
@@ -464,26 +476,32 @@ class Search(spark: SparkSession, dir: String,
       .groupBy($"url").agg(max($"warc_ts").as("cur_ts"))
     indexed.join(cur, Seq("url"), "left_outer")
       .select($"url", when($"cur_ts".isNull, "missing")
-        .when($"cur_ts" =!= $"indexed_ts", "stale").as("status"))
+        .when($"cur_ts" > $"indexed_ts", "stale").as("status"))
       .where($"status".isNotNull)
   }
 
   /** [[search]] with stale/missing groups dropped (reference `search -f`:
     * skip bad files instead of erroring, fts-lmdb.go:1117-1120).
-    * The bad-url set is collected once (bounded: it is a subset of the
-    * hit urls) and applied as a pushed-down filter, so the search
-    * pipeline executes twice total (badFiles derivation + the returned
-    * frame), not once more per join input.
+    * Below [[Search.DefaultMaxInlineCandidates]] bad urls, the set is
+    * collected once (bounded probe via take(gate+1)) and applied as a
+    * pushed-down filter; above the gate — a changed-everything corpus
+    * under a hot query — the bad set stays distributed and is removed
+    * with a left-anti join, the same pattern as the tombstone path. In
+    * both shapes the search pipeline executes twice total (badFiles
+    * derivation + the returned frame), not once more per join input.
     */
   def searchFresh(args: Seq[String], currentDocs: DataFrame,
                   partial: Boolean = false,
                   limitPerGroup: Int = Int.MaxValue,
                   filterRegex: Option[String] = None): DataFrame = {
     val hits = search(args, partial, limitPerGroup, filterRegex)
-    val badUrls = badFiles(hits.select("url").distinct(), currentDocs)
-      .select("url").as[String].collect()
-    if (badUrls.isEmpty) hits
-    else hits.where(!$"url".isInCollection(badUrls.toSeq))
+    val bad = badFiles(hits.select("url").distinct(), currentDocs)
+    val probe = bad.select("url").as[String].take(maxInlineCandidates + 1)
+    if (probe.isEmpty) hits
+    else if (probe.length <= maxInlineCandidates)
+      hits.where(!$"url".isInCollection(probe.toSeq))
+    else
+      hits.join(bad.select("url"), Seq("url"), "left_anti")
   }
 
   /** File-cover search (reference -file mode, intersectFileGrams

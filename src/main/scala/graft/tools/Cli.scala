@@ -18,9 +18,18 @@ import graft.sources.WebCorpus
   *     [-f]           with --docs: skip stale/missing groups instead
   *     [-u]           with --docs: run incremental update first
   *                    (reference search -u, fts-lmdb.go:1050-1055)
+  *     [--limit N]    results per group (reference -limit) — also bounds
+  *                    the driver-side format-render collect
+  * Without --docs -f, a bad file exits on the FIRST bad url in group
+  * order (the reference walks results in order and exits at the first,
+  * findBadFiles fts-lmdb.go:1109-1126; it maps missing to its exit 4
+  * "unreadable" in no-force search — we keep this repo's settled 2).
   *   Cli search-partial INDEXDIR TERM...
   *   Cli search-grams INDEXDIR [-gx|-gd] GRAM...  (explicit-gram candidates)
-  *   Cli fuzzy INDEXDIR RATIO TERM...      (per-group best-match-first)
+  *   Cli grams [-gx] [-partial] PHRASE     (print the phrase's gram set,
+  *                    reference cmdGrams fts-lmdb.go:869-890; no DB opened)
+  *   Cli fuzzy INDEXDIR RATIO TERM...      (per-group best-match-first;
+  *                    --format/--sexp/-n render with real PERCENT)
   *   Cli fuzzy-sort INDEXDIR RATIO TERM... (-fuzzy -sort global ordering)
   *   Cli bm25 INDEXDIR K and|or TERM...
   *   Cli files INDEXDIR TERM...            (-file cover mode)
@@ -72,6 +81,101 @@ object Cli {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  // reference display formats (fts-lmdb.go:56-62); FMT args are
+  // POSITION LINE OFFSET PERCENT CHUNK FILE
+  private val LineFormat = "%[6]s:%[2]d:%[5]s\n"
+  private val FuzzyLineFormat = "%[6]s:%[2]d:%4.1[4]f%%:%[5]s\n"
+  private val SexpFormat = "(:filename \"%[6]s\" :line %[2]d :offset %[3]d " +
+    ":text \"%[5]s\" :char-offset %[1]d :percent %[4]f)\n"
+
+  /** Reference-format rendering walk (displayResults fts-lmdb.go:1242-1266):
+    * group framing via start/end formats when `grouped`, one format() line
+    * per row with args POSITION LINE OFFSET PERCENT CHUNK FILE. PERCENT is
+    * ratio*100 when the frame carries a fuzzy ratio (displayChunk's
+    * ch.match*100), else 0; OFFSET is the verify offset when present, else
+    * 0 (fuzzy firstMatch = 0). `trimNewline` mirrors displayChunk's single
+    * trailing-newline drop — sortFuzzy's global path does NOT trim
+    * (fts-lmdb.go:1405 formats the raw chunk), a preserved quirk.
+    */
+  private def renderRows(rows: Array[org.apache.spark.sql.Row], fmt: String,
+                         startFormat: String, endFormat: String,
+                         numbers: Boolean, grouped: Boolean,
+                         trimNewline: Boolean): String = {
+    var curUrl: String = null
+    val out = new StringBuilder
+    val fields = if (rows.isEmpty) Set.empty[String]
+                 else rows.head.schema.fieldNames.toSet
+    rows.foreach { r =>
+      val url = r.getAs[String]("url")
+      if (grouped && url != curUrl) {
+        if (curUrl != null) out.append(GoFormat.printfGuarded(endFormat, curUrl))
+        out.append(GoFormat.printfGuarded(startFormat, url))
+        curUrl = url
+      }
+      if (numbers) out.append(s"$url:${r.get(r.fieldIndex("line"))}\n")
+      else {
+        val chunk = r.getAs[String]("chunk_text")
+        val trimmed = if (trimNewline && chunk.endsWith("\n")) chunk.dropRight(1)
+                      else chunk
+        val pct = if (fields("ratio")) r.getAs[Double]("ratio") * 100 else 0.0
+        val off: Any = if (fields("offset")) r.get(r.fieldIndex("offset")) else 0
+        out.append(GoFormat.format(fmt,
+          r.get(r.fieldIndex("position")), r.get(r.fieldIndex("line")),
+          off, pct, GoFormat.escape(trimmed), url))
+      }
+    }
+    if (grouped && curUrl != null)
+      out.append(GoFormat.printfGuarded(endFormat, curUrl))
+    out.toString
+  }
+
+  /** `fuzzy` / `fuzzy-sort` with the reference display contract: the
+    * default render format for fuzzy results is fuzzyLineFormat — real
+    * PERCENT via `%4.1[4]f` (fts-lmdb.go:58, selected at 200-201 when
+    * -fuzzy is on and the format was not overridden); --sexp swaps in
+    * sexpFormat whose `:percent %[4]f` likewise carries the ratio. With no
+    * display flag the engine-native tabular frame prints instead (same
+    * convention as `search`). `-fuzzy -sort` prints one global walk —
+    * ratio ascending so the best match lands last (sortFuzzy
+    * fts-lmdb.go:1393-1400) — without group framing; --limit caps rows
+    * per group (non-sort; reference chunk-fetch limit fts-lmdb.go:1361)
+    * or the rendered prefix (sort mode, display cap only).
+    */
+  private def fuzzyCmd(dir: String, ratio: String, rest: List[String],
+                       sortGlobal: Boolean): Unit = {
+    def strOpt(flag: String): Option[String] =
+      rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v }
+    val sexp = rest.contains("--sexp")
+    val numbers = rest.contains("-n")
+    val anyFmt = sexp || numbers || strOpt("--format").nonEmpty ||
+      strOpt("--start-format").nonEmpty || strOpt("--end-format").nonEmpty
+    val opts = Set("--sexp", "-n")
+    val flagged = Set("--format", "--start-format", "--end-format", "--limit")
+    val terms = rest.zipWithIndex.filterNot { case (a, i) =>
+      opts(a) || flagged(a) || (i > 0 && flagged(rest(i - 1)))
+    }.map(_._1)
+    if (terms.isEmpty) {
+      System.err.println("fuzzy needs at least one term"); exit(1)
+    }
+    val limit = strOpt("--limit").map(_.toInt).getOrElse(Int.MaxValue)
+    val eng = new Search(session(), dir)
+    val df = eng.fuzzySearch(terms, ratio.toDouble, sortGlobal = sortGlobal,
+      limitPerGroup = if (sortGlobal) Int.MaxValue else limit,
+      includePosition = anyFmt)
+    if (!anyFmt) showR(df) // engine-native tabular output (exit 1 on empty)
+    else {
+      val fmt = strOpt("--format")
+        .getOrElse(if (sexp) SexpFormat else FuzzyLineFormat)
+      val startFormat = strOpt("--start-format").getOrElse("")
+      val endFormat = strOpt("--end-format").getOrElse("")
+      val rows = if (sortGlobal && limit != Int.MaxValue) df.take(limit)
+                 else df.collect()
+      if (rows.isEmpty) { System.err.println("no results"); exit(1) }
+      print(renderRows(rows, fmt, startFormat, endFormat, numbers,
+        grouped = !sortGlobal, trimNewline = !sortGlobal))
+    }
   }
 
   private def show(df: DataFrame, n: Int = 50): Unit = df.show(n, truncate = false)
@@ -128,14 +232,13 @@ object Cli {
       //   --format FMT / --sexp / -n / --start-format F / --end-format F
       // FMT args: POSITION LINE OFFSET PERCENT CHUNK FILE (chunk already
       // escape()d, trailing newline trimmed); default FILE:LINE:CHUNK.
-      val lineFormat = "%[6]s:%[2]d:%[5]s\n"
-      val sexpFormat = "(:filename \"%[6]s\" :line %[2]d :offset %[3]d " +
-        ":text \"%[5]s\" :char-offset %[1]d :percent %[4]f)\n"
+      // --limit N bounds results per group (reference -limit, applied at
+      // chunk fetch fts-lmdb.go:1361) — it also bounds the display collect.
       def strOpt(flag: String): Option[String] =
         rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v }
       val sexp = rest.contains("--sexp")
       val numbers = rest.contains("-n")
-      val fmt = strOpt("--format").getOrElse(if (sexp) sexpFormat else lineFormat)
+      val fmt = strOpt("--format").getOrElse(if (sexp) SexpFormat else LineFormat)
       val startFormat = strOpt("--start-format").getOrElse("")
       // NOTE: the reference never actually prints its sexpGroupEnd — its
       // own `cfg.format == groupEnd` comparison skips it (fts-lmdb.go:
@@ -143,35 +246,45 @@ object Cli {
       // observed reference behavior rather than its dead constant.
       val endFormat = strOpt("--end-format").getOrElse("")
       val opts = Set("--sexp", "-n", "-u", "-f")
-      val flagged = Set("--format", "--start-format", "--end-format", "--docs")
+      val flagged = Set("--format", "--start-format", "--end-format", "--docs",
+        "--limit")
       val terms = rest.zipWithIndex.filterNot { case (a, i) =>
         opts(a) || flagged(a) || (i > 0 && flagged(rest(i - 1)))
       }.map(_._1)
       require(terms.nonEmpty, "search needs at least one term")
+      val limit = strOpt("--limit").map(_.toInt).getOrElse(Int.MaxValue)
       val spark = session()
       val docsPath = strOpt("--docs")
       if (rest.contains("-u")) {
         // reference search -u: run the incremental update before searching
-        val p = docsPath.getOrElse(sys.error("-u needs --docs PATH"))
-        graft.maint.Maintenance.update(spark, dir, spark.read.parquet(p),
-          cfgFor(dir))
+        docsPath match {
+          case Some(p) =>
+            graft.maint.Maintenance.update(spark, dir, spark.read.parquet(p),
+              cfgFor(dir))
+          case None =>
+            // contract-conformant usage failure, not a JVM stack trace
+            System.err.println("search -u needs --docs PATH"); exit(1)
+        }
       }
       val eng = new Search(spark, dir)
-      var df = eng.search(terms)
+      var df = eng.search(terms, limitPerGroup = limit)
       docsPath.foreach { p =>
         val cur = spark.read.parquet(p)
         if (rest.contains("-f"))
           // -f: skip stale/missing groups (findBadFiles skip path) — one
           // source of truth for the semantics
-          df = eng.searchFresh(terms, cur)
+          df = eng.searchFresh(terms, cur, limitPerGroup = limit)
         else {
-          val bad = eng.badFiles(df.select("url").distinct(), cur)
-            .collect().map(r => (r.getString(0), r.getString(1)))
-          bad.find(_._2 == "missing").foreach { case (u, _) =>
-            System.err.println(s"missing: $u"); exit(2)
-          }
-          bad.find(_._2 == "stale").foreach { case (u, _) =>
-            System.err.println(s"stale: $u"); exit(3)
+          // the reference walks results in group order and exits on the
+          // FIRST bad file it meets (findBadFiles fts-lmdb.go:1109-1126) —
+          // order by url (the result group order) and take the head,
+          // rather than preferring every missing over every stale
+          val first = eng.badFiles(df.select("url").distinct(), cur)
+            .orderBy("url").limit(1).collect().headOption
+          first.foreach { r =>
+            val (u, st) = (r.getString(0), r.getString(1))
+            System.err.println(s"$st: $u")
+            exit(if (st == "missing") 2 else 3)
           }
         }
       }
@@ -179,32 +292,13 @@ object Cli {
           strOpt("--start-format").isEmpty && strOpt("--end-format").isEmpty)
         showR(df) // engine-native tabular output (exit 1 on empty)
       else {
-        // reference-format rendering (driver-side: display path only).
-        // rows arrive ordered (url, byte_start) — the group framing walk
-        // mirrors displayResults (fts-lmdb.go:1242-1266).
+        // reference-format rendering (driver-side: display path only;
+        // bounded by --limit when given). rows arrive ordered
+        // (url, byte_start) — renderRows is the displayResults walk.
         val rows = df.collect()
         if (rows.isEmpty) { System.err.println("no results"); exit(1) }
-        var curUrl: String = null
-        val out = new StringBuilder
-        rows.foreach { r =>
-          val url = r.getAs[String]("url")
-          if (url != curUrl) {
-            if (curUrl != null) out.append(GoFormat.printfGuarded(endFormat, curUrl))
-            out.append(GoFormat.printfGuarded(startFormat, url))
-            curUrl = url
-          }
-          if (numbers) out.append(s"$url:${r.get(r.fieldIndex("line"))}\n")
-          else {
-            val chunk = r.getAs[String]("chunk_text")
-            val trimmed = if (chunk.endsWith("\n")) chunk.dropRight(1) else chunk
-            out.append(GoFormat.format(fmt,
-              r.get(r.fieldIndex("position")), r.get(r.fieldIndex("line")),
-              r.get(r.fieldIndex("offset")), 0.0,
-              GoFormat.escape(trimmed), url))
-          }
-        }
-        if (curUrl != null) out.append(GoFormat.printfGuarded(endFormat, curUrl))
-        print(out)
+        print(renderRows(rows, fmt, startFormat, endFormat, numbers,
+          grouped = true, trimNewline = true))
       }
     case "search-partial" :: dir :: terms if terms.nonEmpty =>
       showR(new Search(session(), dir).search(terms, partial = true))
@@ -212,8 +306,8 @@ object Cli {
       showR(new Search(session(), dir).search(terms, filterRegex = Some(re)))
     case "candidates" :: dir :: terms if terms.nonEmpty =>
       showR(new Search(session(), dir).candidates(terms).orderBy("doc_id"))
-    case "fuzzy" :: dir :: ratio :: terms if terms.nonEmpty =>
-      showR(new Search(session(), dir).fuzzy(terms, ratio.toDouble))
+    case "fuzzy" :: dir :: ratio :: rest if rest.nonEmpty =>
+      fuzzyCmd(dir, ratio, rest, sortGlobal = false)
     case "bm25" :: dir :: k :: mode :: terms if terms.nonEmpty =>
       showR(new Search(session(), dir).bm25TopK(terms, k.toInt, mode == "and"))
     case "files" :: dir :: terms if terms.nonEmpty =>
@@ -239,9 +333,29 @@ object Cli {
       val lits = rest.filterNot(Set("-gx", "-gd"))
       val gs = lits.map(graft.core.Gram.parseGram(_, hex, dec))
       showR(new Search(session(), dir).candidatesByGrams(gs).orderBy("doc_id"))
-    case "fuzzy-sort" :: dir :: ratio :: terms if terms.nonEmpty =>
-      showR(new Search(session(), dir)
-        .fuzzySearch(terms, ratio.toDouble, sortGlobal = true))
+    case "fuzzy-sort" :: dir :: ratio :: rest if rest.nonEmpty =>
+      fuzzyCmd(dir, ratio, rest, sortGlobal = true)
+    case "grams" :: rest if rest.nonEmpty =>
+      // reference cmdGrams (fts-lmdb.go:869-890): print the gram set of a
+      // phrase — no DB opens (the DB positional IS the phrase; the command
+      // is exempted from the stat at fts-lmdb.go:203). -gx prints each gram
+      // as two UNPADDED hex bytes (strconv.FormatUint of grm>>8 then
+      // grm&0xFF); default prints gramString forms; -partial extracts
+      // interior grams only. The reference iterates a Go map (unspecified
+      // order) — we print sorted gram codes, the one deterministic order.
+      val hex = rest.contains("-gx")
+      val partial = rest.contains("-partial")
+      val phrase = rest.filterNot(Set("-gx", "-partial"))
+      if (phrase.size != 1) {
+        System.err.println(s"Wrong number of arguments: ${rest.mkString(" ")}")
+        exit(1)
+      }
+      val gs = graft.core.Gram.gramsSorted(partial, phrase)
+      println(gs.map { g =>
+        if (hex) java.lang.Integer.toHexString(g >> 8) +
+          java.lang.Integer.toHexString(g & 0xff)
+        else graft.core.Gram.gramString(g)
+      }.mkString(" "))
     case "chunk" :: dir :: url :: data :: rest if rest.nonEmpty =>
       val (hex, dec) = (rest.contains("-gx"), rest.contains("-gd"))
       val gs = rest.filterNot(Set("-gx", "-gd", "--defer-dict"))

@@ -110,7 +110,14 @@ object GoFormat {
         var j = i + 1
         var explicitIdx = false
         val prevArgIdx = argIdx
-        if (fmt.charAt(j) == '[') {
+        val specStart = j
+        while (j < fmt.length &&
+               (fmt.charAt(j).isDigit || "+- #0.".contains(fmt.charAt(j)))) j += 1
+        // Go's explicit argument index sits immediately before the verb,
+        // AFTER any flags/width/precision: `%4.1[4]f` (fuzzyLineFormat,
+        // fts-lmdb.go:58) as well as the plain `%[6]s` forms
+        val spec0End = j
+        if (j < fmt.length && fmt.charAt(j) == '[') {
           val close = fmt.indexOf(']', j)
           if (close > j + 1 &&
               fmt.substring(j + 1, close).forall(_.isDigit)) {
@@ -119,12 +126,9 @@ object GoFormat {
             j = close + 1
           }
         }
-        val specStart = j
-        while (j < fmt.length &&
-               (fmt.charAt(j).isDigit || "+- #0.".contains(fmt.charAt(j)))) j += 1
         if (j >= fmt.length) { sb.append(fmt.substring(i)); i = fmt.length }
         else {
-          val spec = fmt.substring(specStart, j)
+          val spec = fmt.substring(specStart, spec0End)
           val verb = fmt.charAt(j)
           val missing = argIdx < 0 || argIdx >= args.length
           val a = if (!missing) args(argIdx) else null

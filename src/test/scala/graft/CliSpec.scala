@@ -49,6 +49,95 @@ class CliSpec extends SparkSuite {
     assert(Cli.run(Array("search", dir, "one", "--docs", fresh)) == 0)
   }
 
+  private def captureOut(f: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) { f }
+    bos.toString("UTF-8")
+  }
+
+  test("grams verb prints the phrase's gram set (cmdGrams fts-lmdb.go:869-890)") {
+    import graft.core.Gram
+    val out = captureOut(assert(Cli.run(Array("grams", "this is a test")) == 0))
+    // sorted-gram-code order (the reference iterates a Go map: unordered)
+    val expected = Gram.gramsSorted(partial = false, Seq("this is a test"))
+      .map(Gram.gramString).mkString(" ") + "\n"
+    assert(out == expected)
+    assert(out.trim.split(" ").contains("THI"))
+    // -gx: two UNPADDED hex bytes per gram; THI = 41755 = 0xa3,0x1b
+    val hexOut = captureOut(assert(
+      Cli.run(Array("grams", "-gx", "this is a test")) == 0))
+    assert(hexOut.trim.split(" ").contains("a31b"))
+    // -partial: interior windows only; "test" -> {TES, EST}, code-sorted
+    val part = captureOut(assert(Cli.run(Array("grams", "-partial", "test")) == 0))
+    assert(part == "EST TES\n")
+    // arg-count contract: no phrase / too many -> usage exit 1
+    assert(Cli.run(Array("grams")) == 1)
+    assert(Cli.run(Array("grams", "a", "b")) == 1)
+  }
+
+  test("fuzzy renders reference formats with real PERCENT (fuzzyLineFormat)") {
+    // 'three' partial grams {THR, HRE, REE} all present in lines 2/5/6 ->
+    // ratio 1.0 -> 100.0%; --start-format "" triggers format rendering
+    // with the default fuzzyLineFormat (%4.1[4]f percent)
+    val out = captureOut(assert(
+      Cli.run(Array("fuzzy", dir, "0.5", "three", "--start-format", "")) == 0))
+    assert(out ==
+      s"$url:2:100.0%:two three\n" +
+      s"$url:5:100.0%:one two three\n" +
+      s"$url:6:100.0%:one three two\n")
+    // --sexp carries :percent %[4]f and :char-offset = rune_off+1
+    val sx = captureOut(assert(
+      Cli.run(Array("fuzzy", dir, "0.5", "three", "--sexp")) == 0))
+    assert(sx.startsWith("(:filename \"" + url + "\" :line 2 :offset 0 " +
+      ":text \"two three\" :char-offset 5 :percent 100.000000)\n"))
+    // fuzzy-sort: one global walk, ratio ASC (best match LAST, sortFuzzy
+    // fts-lmdb.go:1393-1400), chunk NOT newline-trimmed (quirk preserved:
+    // sortFuzzy formats the raw chunk, so the escaped \n is visible)
+    val gs = captureOut(assert(
+      Cli.run(Array("fuzzy-sort", dir, "0.5", "three", "--start-format", "")) == 0))
+    assert(gs ==
+      s"$url:2:100.0%:two three\\n\n" +
+      s"$url:5:100.0%:one two three\\n\n" +
+      s"$url:6:100.0%:one three two\\n\n")
+    // no-match contract unchanged
+    assert(Cli.run(Array("fuzzy", dir, "0.9", "zzqqy", "--sexp")) == 1)
+  }
+
+  test("search --limit bounds results per group (reference -limit)") {
+    // 'one' hits lines 1, 5, 6; --limit 1 keeps the first per group
+    val out = captureOut(assert(
+      Cli.run(Array("search", dir, "one", "--limit", "1", "-n")) == 0))
+    assert(out == s"$url:1\n")
+  }
+
+  test("an OLDER current version is fresh (strictly-newer staleness)") {
+    // reference flags only ModTime().After(lastChanged) (fts-lmdb.go:1118);
+    // indexed ts is 2020-09-13, a 2019 current version is NOT stale
+    val older = currentDocs("2019-01-01 00:00:00")
+    assert(Cli.run(Array("search", dir, "one", "--docs", older)) == 0)
+  }
+
+  test("bad-file exit follows group order, not missing-before-stale") {
+    val d3 = tmpDir("cli-two")
+    val p = tmpDir("cli-docs") + "/two"
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    Seq(("a://1", ts, Array.empty[Byte], "alpha shared\n", "en"),
+        ("b://2", ts, Array.empty[Byte], "beta shared\n", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang").write.parquet(p)
+    assert(Cli.run(Array("index", d3, "--parquet", p, "--buckets", "4",
+      "--ranges", "2", "--docparts", "2")) == 0)
+    val newer = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+    // current: a stale (newer ts), b missing -> first bad in url order is
+    // a -> exit 3 (the old all-missing-first check would have returned 2)
+    val curA = tmpDir("cli-docs") + "/curA"
+    Seq(("a://1", newer)).toDF("url", "warc_ts").write.parquet(curA)
+    assert(Cli.run(Array("search", d3, "shared", "--docs", curA)) == 3)
+    // current: a missing, b stale -> first bad is a -> exit 2
+    val curB = tmpDir("cli-docs") + "/curB"
+    Seq(("b://2", newer)).toDF("url", "warc_ts").write.parquet(curB)
+    assert(Cli.run(Array("search", d3, "shared", "--docs", curB)) == 2)
+  }
+
   test("search -u runs the incremental update before searching") {
     val d2 = tmpDir("cli-upd")
     assert(Cli.run(Array("index", d2, "--readme", "--buckets", "4",
@@ -58,6 +147,9 @@ class CliSpec extends SparkSuite {
     Seq((url, java.sql.Timestamp.valueOf("2022-09-09 00:00:00"),
       Array.empty[Byte], "a walrus appears\n", "en"))
       .toDF("url", "warc_ts", "html", "text", "lang").write.parquet(p)
+    // -u without --docs is a usage error through the exit-code contract
+    // (not a sys.error stack trace escaping run()'s Exit-only catch)
+    assert(Cli.run(Array("search", d2, "walrus", "-u")) == 1)
     // without -u the term is unknown -> exit 1; with -u it reindexes first
     assert(Cli.run(Array("search", d2, "walrus")) == 1)
     assert(Cli.run(Array("search", d2, "walrus", "-u", "--docs", p)) == 0)

@@ -280,6 +280,48 @@ class MaintenanceSpec extends SparkSuite {
     assert(!gotUrls.contains(victim))
   }
 
+  test("crash between swap and docs-destroy leaves reads tombstone-filtered") {
+    // ADVICE r3: the old ordering deleted the tombstones BEFORE the stale
+    // docs store, so a crash in between left deleted docs silently live.
+    // New invariant: tombstones outlive the docs store — in every
+    // reachable crash state a search either sees the tombstone-filtered
+    // view or fails fast on a missing docs dir, never resurrected rows.
+    val dir = tmpDir("maint-crash3")
+    val docs = WebCorpus.generate(spark, 40, seed = 31L, partitions = 2)
+    IndexBuild.build(spark, docs, dir, cfg)
+    val victim = docs.select("url").orderBy("url").head().getString(0)
+    Maintenance.delete(spark, dir, Seq(victim))
+
+    // reconstruct the crash state right AFTER the chunks swap: compacted
+    // scratch in place, marker pending, docs store still stale,
+    // tombstones still present
+    val chunkCols = Seq("url", "warc_ts", "lang", "docpart", "chunk_seq",
+      "line", "rune_off", "rune_len", "byte_start", "byte_len", "dl",
+      "n_grams", "chunk_text", "explicit_grams")
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+    spark.read.parquet(IndexBuild.docsDir(dir))
+      .join(tomb.select("url", "warc_ts").distinct(),
+        Seq("url", "warc_ts"), "left_anti")
+      .select(chunkCols.map(col).toIndexedSeq: _*)
+      .write.partitionBy("docpart").parquet(IndexBuild.chunksDir(dir))
+    graft.build.Manifest.append(dir,
+      graft.build.Manifest.Entry("compacting", "swap", 0L, 0L, "", 0L))
+
+    // mid-crash reads: the victim stays invisible (old docs + tombstones)
+    val crashed = new Search(spark, dir).search(Seq("the"))
+      .select("url").distinct().as[String].collect().toSet
+    assert(!crashed.contains(victim))
+
+    // resume completes and the victim stays gone; tombstones are consumed
+    Maintenance.compact(spark, dir, cfg)
+    assert(graft.build.Manifest.completed(dir, "compacting").isEmpty)
+    val after = new Search(spark, dir).search(Seq("the"))
+      .select("url").distinct().as[String].collect().toSet
+    assert(after == crashed)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+  }
+
   test("compact resume after a MID-REBUILD crash never deletes the docs store") {
     val dir = tmpDir("maint-crash2")
     val docs = WebCorpus.generate(spark, 40, seed = 29L, partitions = 2)

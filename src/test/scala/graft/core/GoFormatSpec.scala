@@ -43,6 +43,18 @@ class GoFormatSpec extends AnyFunSuite {
       "(:filename \"f.org\" :line 5 :offset 4 :text \"one two\" :char-offset 7 :percent 62.500000)\n")
   }
 
+  test("format: the reference's fuzzy line format (%4.1[4]f index after width)") {
+    // fuzzyLineFormat = "%[6]s:%[2]d:%4.1[4]f%%:%[5]s\n" (fts-lmdb.go:58) —
+    // Go's explicit index sits AFTER width/precision, before the verb
+    val fmt = "%[6]s:%[2]d:%4.1[4]f%%:%[5]s\n"
+    assert(GoFormat.format(fmt, 7L, 5, 0, 100.0, "one two three", "f.org") ==
+      "f.org:5:100.0%:one two three\n")
+    // width 4 pads short percents like Go's %4.1f
+    assert(GoFormat.format(fmt, 7L, 5, 0, 5.0, "x", "f.org") ==
+      "f.org:5: 5.0%:x\n")
+    assert(GoFormat.format("%4.1[4]f", 1, 2, 3, 80.0) == "80.0")
+  }
+
   test("format: explicit [N] re-seats the implicit cursor (Go semantics)") {
     assert(GoFormat.format("%[2]s %s", "a", "b", "c") == "b c")
     assert(GoFormat.format("%s %s", "a", "b") == "a b")
