@@ -43,9 +43,32 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs >= threshold (permille, integer):
     * shingle self-join -> common counts -> |A ∪ B| = |A|+|B|-common.
+    *
+    * `maxShingleDf = 0` (the oracle shape) self-joins EVERY shingle — exact
+    * but pair-quadratic in hot shingles, so it must never run uncapped on a
+    * real corpus. With `maxShingleDf > 0`, shingles whose document
+    * frequency exceeds the cap are dropped from CANDIDATE GENERATION only;
+    * surviving candidate pairs are then verified against the FULL shingle
+    * sets, so every reported Jaccard is still the true one. The only
+    * approximation is recall: a qualifying pair is missed iff ALL of its
+    * shared shingles are hotter than the cap — for near-duplicates (many
+    * shared shingles, most of them rare) that is vanishingly unlikely, and
+    * the capped path's join cost is bounded by cap * df-capped shingle
+    * count instead of sum(df^2). This is the 100 TB-safe way to call this
+    * operator directly; MinHash+LSH remains the preferred scale path.
     */
-  def jaccardPairs(docs: DataFrame, thresholdPermille: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, thresholdPermille: Int,
+                   maxShingleDf: Long = 0L): DataFrame = {
     val sh = shingles(docs).cache()
+    if (maxShingleDf > 0) {
+      val cold = sh.join(
+        sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+          .where(col("sdf") <= maxShingleDf).select("s"), Seq("s"))
+      val cands = cold.as("a").join(cold.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      return verifyJaccard(cands, sh, thresholdPermille)
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -56,6 +79,26 @@ object Dedup {
       .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .withColumn("jaccard_permille",
         expr("(common * 1000) div (na + nb - common)"))
+      .where(col("jaccard_permille") >= thresholdPermille)
+      .select("da", "db", "jaccard_permille").orderBy("da", "db")
+  }
+
+  /** Exact-Jaccard verification of candidate (da, db) pairs against the
+    * full shingle table: common counts from the candidate-gated joins, true
+    * |A ∪ B| from per-doc totals. Shared by the LSH and df-capped candidate
+    * generators — the candidate set only bounds WHICH pairs are checked,
+    * never the reported value.
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            thresholdPermille: Int): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands.join(sh.withColumnRenamed("doc_id", "da"), "da")
+      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("s", "s2"), "db")
+      .where(col("s") === col("s2"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard_permille", expr("(common * 1000) div (na + nb - common)"))
       .where(col("jaccard_permille") >= thresholdPermille)
       .select("da", "db", "jaccard_permille").orderBy("da", "db")
   }
@@ -103,17 +146,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
     // exact verify on the candidate pairs only
-    val sh = shingles(docs)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cands.join(sh.withColumnRenamed("doc_id", "da"), "da")
-      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("s", "s2"), "db")
-      .where(col("s") === col("s2"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
-      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .withColumn("jaccard_permille", expr("(common * 1000) div (na + nb - common)"))
-      .where(col("jaccard_permille") >= thresholdPermille)
-      .select("da", "db", "jaccard_permille").orderBy("da", "db")
+    verifyJaccard(cands, shingles(docs), thresholdPermille)
   }
 
   /** Word hash for SimHash — same fold as shingle hash but over a word. */

@@ -36,6 +36,32 @@ class OpsConsistencySpec extends SparkSuite {
     }
   }
 
+  test("jaccardPairs: df-capped candidates + exact verify == uncapped") {
+    // near-dup cluster (docs 0-2 share most shingles), a hot boilerplate
+    // shingle across ALL docs (df 6 > cap), and unrelated docs
+    val boiler = "terms of service apply"
+    val docs = Seq(
+      s"alpha beta gamma delta epsilon zeta $boiler",
+      s"alpha beta gamma delta epsilon eta $boiler",
+      s"alpha beta gamma delta theta zeta $boiler",
+      s"one two three four five six seven $boiler",
+      s"red green blue cyan magenta yellow $boiler",
+      s"lorem ipsum dolor sit amet consectetur $boiler")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val uncapped = graft.ops.Dedup.jaccardPairs(docs, 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uncapped.nonEmpty)
+    for (cap <- Seq(2L, 4L)) {
+      val capped = graft.ops.Dedup.jaccardPairs(docs, 400, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(capped == uncapped, s"cap=$cap")
+    }
+    // degenerate cap: every SHARED shingle has df >= 2, so cap 1 kills all
+    // candidates — the cap bounds recall, never the emitted rows' values
+    assert(graft.ops.Dedup.jaccardPairs(docs, 400, maxShingleDf = 1L)
+      .collect().isEmpty)
+  }
+
   test("doc length stats agree") {
     val dls = TextOps.docStats(df).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
