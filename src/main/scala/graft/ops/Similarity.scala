@@ -136,6 +136,89 @@ object Similarity {
       .orderBy("vec_id").limit(IvfK)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
 
+  /** Fixed-point scale for k-means centroid accumulation: component sums
+    * are rounded to multiples of 2^-24 and summed as LONGS, which is
+    * associative and exact — the centroid update is bit-identical under any
+    * partitioning or reduce order, unlike naive double summation. Range:
+    * |x| <= ~2 per component leaves 2^63 / 2^25 ≈ 2^38 vectors of headroom
+    * per (cluster, component) sum.
+    */
+  final val KMeansScale: Long = 1L << 24
+
+  /** Deterministic Lloyd refinement of [[ivfCentroids]] (k-means with
+    * k-means||-style fixed seeding): `iters` assignment+update rounds from
+    * the strided seed medoids. Assignment is the same cosine argmax as
+    * [[ivfAssign]] (ties to the smaller cid); the update is a per-partition
+    * fixed-point accumulation kernel — each task emits only K*(dim+1)
+    * longs, embeddings never shuffle, and long addition makes the mean
+    * independent of partitioning and reduce order (the float-determinism
+    * problem that kept round-3 on raw medoids). Empty clusters keep their
+    * previous centroid. Returns (cid, cemb: array<double>) with the seed
+    * cids preserved.
+    */
+  def ivfTrainedCentroids(emb: DataFrame, nQueries: Int,
+                          iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seeds = ivfCentroids(emb, nQueries)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(seeds.nonEmpty, "no candidate vectors to seed centroids from")
+    val dim = seeds.head._2.length
+    val k = seeds.length
+    val cands = emb.where(col("vec_id") >= nQueries)
+      .select(expr("transform(embedding, x -> CAST(x AS double))").as("e"))
+      .as[Array[Double]]
+    var cents: Array[Array[Double]] = seeds.map(_._2)
+    for (_ <- 0 until iters) {
+      val cs = cents
+      val scale = KMeansScale
+      val partials = cands.mapPartitions { it =>
+        val sums = Array.ofDim[Long](k, dim)
+        val counts = new Array[Long](k)
+        val cNorm = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+        it.foreach { e =>
+          var eNorm = 0.0
+          var d = 0
+          while (d < dim) { eNorm += e(d) * e(d); d += 1 }
+          eNorm = math.sqrt(eNorm)
+          var best = 0
+          var bestCos = Double.NegativeInfinity
+          var ci = 0
+          while (ci < k) {
+            var dot = 0.0
+            d = 0
+            while (d < dim) { dot += e(d) * cs(ci)(d); d += 1 }
+            val cos = dot / eNorm / cNorm(ci)
+            // strict > : ties stay with the smaller centroid index (= cid)
+            if (cos > bestCos) { bestCos = cos; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          d = 0
+          while (d < dim) {
+            sums(best)(d) += math.round(e(d) * scale)
+            d += 1
+          }
+        }
+        Iterator.tabulate(k)(ci => (ci, counts(ci), sums(ci)))
+      }
+      // K*(dim+1) longs per task; long addition is exact and associative,
+      // so this reduce is order-free
+      val totals = partials.groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, a._2 + b._2, a._3.zip(b._3).map { case (x, y) => x + y })
+        }
+        .map(_._2).collect().sortBy(_._1)
+      cents = totals.map { case (ci, n, s) =>
+        if (n == 0) cs(ci)
+        else s.map(v => v.toDouble / scale / n)
+      }
+    }
+    spark.createDataFrame(seeds.map(_._1).zip(cents).toIndexedSeq)
+      .toDF("cid", "cemb")
+  }
+
   /** IVF inverted lists: every candidate vector assigned to its nearest
     * centroid (cosine argmax, ties to the smaller cid). The K centroid
     * scores per vector are produced map-side off the broadcast join and
@@ -145,9 +228,10 @@ object Similarity {
     * storage partition key, so a query touches nProbe partitions instead
     * of the corpus.
     */
-  def ivfAssign(emb: DataFrame, nQueries: Int): DataFrame = {
+  def ivfAssign(emb: DataFrame, nQueries: Int,
+                centroids: Option[DataFrame] = None): DataFrame = {
     emb.where(col("vec_id") >= nQueries)
-      .join(broadcast(ivfCentroids(emb, nQueries)), lit(true))
+      .join(broadcast(centroids.getOrElse(ivfCentroids(emb, nQueries))), lit(true))
       .withColumn("cosd", expr(cosineDoubleExpr("embedding", "cemb")))
       .select(col("vec_id"), col("cid"), col("cosd"))
       .groupBy(col("vec_id"))
@@ -162,7 +246,15 @@ object Similarity {
     * into the same bounded per-partition top-k merge as [[cosineTopK]] —
     * no per-query single-task rank over the probed candidates.
     */
-  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int,
+              /** Lloyd rounds for the coarse quantizer; 0 = raw strided
+                * seed medoids (the oracle-checked default — the trained
+                * path is deterministic too, but its oracle would need
+                * k-means in SQL) */
+              trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) ivfTrainedCentroids(emb, nQueries, trainIters)
+      else ivfCentroids(emb, nQueries)
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wProbe = org.apache.spark.sql.expressions.Window
@@ -170,11 +262,11 @@ object Similarity {
       .orderBy(col("cosd").desc, col("cid").asc)
     // |q| x K rows: the window is driver-scale, not data-scale
     val probes = queries
-      .join(broadcast(ivfCentroids(emb, nQueries)), lit(true))
+      .join(broadcast(cents), lit(true))
       .withColumn("cosd", expr(cosineDoubleExpr("qe", "cemb")))
       .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
       .select(col("query_id"), col("cid").as("cluster"))
-    val lists = ivfAssign(emb, nQueries)
+    val lists = ivfAssign(emb, nQueries, Some(cents))
       .join(emb.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
       .select(col("cluster"), col("vec_id").as("neighbor_id"), col("ne"))
     val scored = lists.join(broadcast(probes), Seq("cluster"))

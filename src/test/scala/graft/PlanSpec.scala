@@ -118,6 +118,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("searchFresh bad-url set anti-joins above the inline gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // make EVERY hit url stale (newer current ts) and force the gate to 0:
+    // the bad set must stay distributed — a left-anti join on url, never a
+    // collected isInCollection filter (a changed-everything corpus under a
+    // hot query must not land on the driver)
+    val cur = spark.read.parquet(IndexBuild.docsDir(dir))
+      .select($"url").distinct()
+      .withColumn("warc_ts", lit("2030-01-01 00:00:00").cast("timestamp"))
+    val gated = new Search(spark, dir, maxInlineCandidates = 0)
+    val df = gated.searchFresh(Seq("the"), cur)
+    assert(df.collect().isEmpty) // all urls stale -> everything skipped
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"bad-url set not anti-joined:\n${p.take(600)}")
+    // below the gate (default) the same query inlines: no anti-join on url
+    val inl = search.searchFresh(Seq("the"), cur)
+    inl.collect()
+    assert(!plan(inl).contains("LeftAnti"))
+  }
+
   test("cosineTopK broadcasts the query side, never the corpus") {
     import spark.implicits._
     val emb = (0L until 40L).map(i =>
