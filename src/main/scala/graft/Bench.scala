@@ -146,6 +146,16 @@ object Bench {
       val (_, w1) = time(tomb())
       val (_, w2) = time(tomb())
       maint += "bm25_or_hot_tombstoned" -> math.min(w1, w2)
+      // SPARK_GRAFT_COMPACT=1: time the full space reclamation (anti-join
+      // chunk rewrite + derived rebuild) on the tombstoned index — the
+      // stress-corpus demonstration of M2 at scale; opt-in because compact
+      // re-runs the whole derived build
+      if (sys.env.get("SPARK_GRAFT_COMPACT").contains("1")) {
+        val (_, cSec) = time {
+          graft.maint.Maintenance.compact(spark, idxDir, benchCfg)
+        }
+        maint += "compact" -> cSec
+      }
     }
     (results, maint, bstats.nDocs)
   }

@@ -11,6 +11,26 @@ import scala.jdk.CollectionConverters._
   *
   * Entry: {"stage":"chunks","unit":"3","rows":123,"bytes":4567,
   *         "watermark":"...","wall_ms":88,"status":"complete"}
+  *
+  * == Iceberg seam (production swap, untestable in-sandbox) ==
+  * No Iceberg jar ships in /opt/spark/jars, so parquet dirs + this manifest
+  * stand in for Iceberg tables. The swap is confined to four touch points,
+  * none of which change an operator's logical plan:
+  *  1. every `spark.read.parquet(dir)` → `spark.table("graft.<name>")`
+  *     (catalog tables for docs / postings_terms / postings_grams /
+  *     dictionary / gram_dict / tombstones);
+  *  2. every `write.mode("append"/"overwrite").partitionBy(...).parquet` →
+  *     `writeTo(...).append()` / `overwritePartitions()` — the atomic-swap
+  *     dance in [[graft.maint.Maintenance]] (tmp dir + move) collapses into
+  *     Iceberg's snapshot commit;
+  *  3. this manifest's (stage, unit) idempotence keys → snapshot summary
+  *     properties (`snapshot.summary Map[String,String]`), with
+  *     [[completed]]/[[invalidateStage]] reading/expiring snapshots;
+  *  4. tombstones → `DELETE FROM docs WHERE ...` row-level deletes, making
+  *     compact() `rewrite_data_files` + `expire_snapshots`.
+  * The query side keeps its pruning: Iceberg supplies the same partition
+  * pruning (bucket/docpart spec) and min-max skipping the parquet layout's
+  * directory partitioning + row-group stats provide today.
   */
 object Manifest {
   final case class Entry(stage: String, unit: String, rows: Long, bytes: Long,
