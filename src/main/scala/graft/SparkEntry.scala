@@ -156,11 +156,13 @@ object SparkEntry {
     "q20_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(docsTable(s, d))),
     "q21_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docsTable(s, d), 500)),
     // capped candidate generation + exact verify: agrees with q21 whenever
-    // every qualifying pair shares at least one shingle with df <= cap
-    // (measured: worst qualifying pair's min shared df is 4 at sf0.001,
-    // 3 at sf0.01 — cap 4 drops hot shingles yet loses nothing)
+    // every qualifying pair shares at least one shingle with df <= cap.
+    // Measured worst qualifying pair's MIN shared-shingle df: 4 (sf0.001),
+    // 3 (sf0.01), 10 (sf0.1); max shingle df 9/7/25 — cap 16 drops 669
+    // hot shingles at sf0.1 yet preserves every qualifying pair at all
+    // three scales
     "q42_jaccard_capped" -> ((s, d) =>
-      Dedup.jaccardPairs(docsTable(s, d), 500, maxShingleDf = 4)),
+      Dedup.jaccardPairs(docsTable(s, d), 500, maxShingleDf = 16)),
     "q22_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(docsTable(s, d), 600)),
     "q23_simhash" -> ((s, d) => Dedup.simhash(docsTable(s, d))),
     // ---- similarity search
@@ -377,7 +379,7 @@ object SparkEntry {
     "q21_jaccard_pairs" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
     // the capped path reports TRUE Jaccard for every pair it emits, and at
-    // cap 4 emits every qualifying pair on these corpora -> same oracle
+    // cap 16 emits every qualifying pair on these corpora -> same oracle
     "q42_jaccard_capped" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
     "q22_minhash_lsh_pairs" ->
