@@ -351,8 +351,21 @@ class Search(spark: SparkSession, dir: String,
                     * default so the relational output schema is stable */
                   includePosition: Boolean = false): DataFrame = {
     val docs = spark.read.parquet(IndexBuild.docsDir(dir))
-    val hydrated = docs.join(fuzzy(args, minRatio).hint("SHUFFLE_HASH"),
+    val hydrated0 = docs.join(fuzzy(args, minRatio).hint("SHUFFLE_HASH"),
       Seq("doc_id"))
+    // the reference's -limit caps results PER GROUP at chunk fetch, BEFORE
+    // any global sort (chunkInfo `len(result) >= cfg.limit`, fts-lmdb.go:
+    // 1359-1362) — so it applies in both framings. Its truncation order is
+    // map-random; we keep the group's BEST matches (ratio desc, doc_id) for
+    // a deterministic, strictly-more-useful cut. Window only when a limit
+    // is set (same rule as search's W5).
+    val hydrated =
+      if (limitPerGroup == Int.MaxValue) hydrated0
+      else {
+        val wl = Window.partitionBy($"url").orderBy($"ratio".desc, $"doc_id".asc)
+        hydrated0.withColumn("lrn", row_number().over(wl))
+          .where($"lrn" <= limitPerGroup).drop("lrn")
+      }
     val framed = if (sortGlobal) {
       val np = spark.sessionState.conf.numShufflePartitions
       val sorted = hydrated
@@ -374,7 +387,6 @@ class Search(spark: SparkSession, dir: String,
     } else {
       val w = Window.partitionBy($"url").orderBy($"ratio".desc, $"doc_id".asc)
       hydrated.withColumn("rn", row_number().over(w))
-        .where($"rn" <= limitPerGroup)
         .select($"url", $"doc_id", $"line", $"hits", $"ratio", $"chunk_text",
           ($"rune_off" + 1).as("position"), $"rn")
         .orderBy($"url", $"rn")
@@ -495,12 +507,19 @@ class Search(spark: SparkSession, dir: String,
                   limitPerGroup: Int = Int.MaxValue,
                   filterRegex: Option[String] = None): DataFrame = {
     val hits = search(args, partial, limitPerGroup, filterRegex)
+    // cache the (small: url+status) bad set so the probe AND the anti-join
+    // consumer read one materialization — without it the anti-join's build
+    // side would re-run the whole search pipeline a third time
     val bad = badFiles(hits.select("url").distinct(), currentDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = bad.select("url").as[String].take(maxInlineCandidates + 1)
-    if (probe.isEmpty) hits
-    else if (probe.length <= maxInlineCandidates)
-      hits.where(!$"url".isInCollection(probe.toSeq))
-    else
+    if (probe.length <= maxInlineCandidates) {
+      bad.unpersist()
+      if (probe.isEmpty) hits
+      else hits.where(!$"url".isInCollection(probe.toSeq))
+    } else
+      // above the gate the cached frame stays live for the lazy consumer
+      // (evicted LRU; bounded: one row per bad url)
       hits.join(bad.select("url"), Seq("url"), "left_anti")
   }
 

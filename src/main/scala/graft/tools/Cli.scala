@@ -59,6 +59,17 @@ object Cli {
 
   private def exit(code: Int): Nothing = throw Exit(code)
 
+  /** Numeric CLI arguments fail through the exit-code contract (usage error
+    * on stderr + exit 1), never as a raw NumberFormatException escaping
+    * run()'s Exit-only catch.
+    */
+  private def intArg(s: String, what: String): Int =
+    try s.toInt catch { case _: NumberFormatException =>
+      System.err.println(s"$what must be an integer: $s"); exit(1) }
+  private def doubleArg(s: String, what: String): Double =
+    try s.toDouble catch { case _: NumberFormatException =>
+      System.err.println(s"$what must be a number: $s"); exit(1) }
+
   def main(args: Array[String]): Unit = {
     val code = run(args)
     if (code != 0) sys.exit(code)
@@ -140,8 +151,9 @@ object Cli {
     * convention as `search`). `-fuzzy -sort` prints one global walk —
     * ratio ascending so the best match lands last (sortFuzzy
     * fts-lmdb.go:1393-1400) — without group framing; --limit caps rows
-    * per group (non-sort; reference chunk-fetch limit fts-lmdb.go:1361)
-    * or the rendered prefix (sort mode, display cap only).
+    * PER GROUP in both modes (the reference's chunk-fetch limit runs
+    * before sortFuzzy, fts-lmdb.go:1359-1362), keeping each group's best
+    * matches, so the sorted walk still covers every group.
     */
   private def fuzzyCmd(dir: String, ratio: String, rest: List[String],
                        sortGlobal: Boolean): Unit = {
@@ -159,10 +171,13 @@ object Cli {
     if (terms.isEmpty) {
       System.err.println("fuzzy needs at least one term"); exit(1)
     }
-    val limit = strOpt("--limit").map(_.toInt).getOrElse(Int.MaxValue)
+    val limit = strOpt("--limit").map(intArg(_, "--limit")).getOrElse(Int.MaxValue)
     val eng = new Search(session(), dir)
-    val df = eng.fuzzySearch(terms, ratio.toDouble, sortGlobal = sortGlobal,
-      limitPerGroup = if (sortGlobal) Int.MaxValue else limit,
+    // --limit caps PER GROUP in both framings (reference chunk-fetch limit
+    // runs before sortFuzzy, fts-lmdb.go:1359-1362) — the engine applies it
+    // upstream of the global sort
+    val df = eng.fuzzySearch(terms, doubleArg(ratio, "RATIO"),
+      sortGlobal = sortGlobal, limitPerGroup = limit,
       includePosition = anyFmt)
     if (!anyFmt) showR(df) // engine-native tabular output (exit 1 on empty)
     else {
@@ -170,10 +185,12 @@ object Cli {
         .getOrElse(if (sexp) SexpFormat else FuzzyLineFormat)
       val startFormat = strOpt("--start-format").getOrElse("")
       val endFormat = strOpt("--end-format").getOrElse("")
-      val rows = if (sortGlobal && limit != Int.MaxValue) df.take(limit)
-                 else df.collect()
+      val rows = df.collect()
       if (rows.isEmpty) { System.err.println("no results"); exit(1) }
-      print(renderRows(rows, fmt, startFormat, endFormat, numbers,
+      // reference sortFuzzy always formats — displayChunk's -n branch is
+      // unreachable under -fuzzy -sort (fts-lmdb.go:1292, 1404-1406)
+      print(renderRows(rows, fmt, startFormat, endFormat,
+        numbers = numbers && !sortGlobal,
         grouped = !sortGlobal, trimNewline = !sortGlobal))
     }
   }
@@ -217,7 +234,8 @@ object Cli {
         case _ => sys.error("index needs --synth N | --parquet PATH | --readme")
       }
       def intOpt(flag: String, dflt: Int): Int =
-        rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v.toInt }.getOrElse(dflt)
+        rest.sliding(2).collectFirst { case `flag` :: v :: Nil => intArg(v, flag) }
+          .getOrElse(dflt)
       val stats = IndexBuild.build(spark, docs, dir, IndexBuild.Config(
         nBuckets = intOpt("--buckets", 8), nRanges = intOpt("--ranges", 8),
         docParts = intOpt("--docparts", 8),
@@ -252,7 +270,7 @@ object Cli {
         opts(a) || flagged(a) || (i > 0 && flagged(rest(i - 1)))
       }.map(_._1)
       require(terms.nonEmpty, "search needs at least one term")
-      val limit = strOpt("--limit").map(_.toInt).getOrElse(Int.MaxValue)
+      val limit = strOpt("--limit").map(intArg(_, "--limit")).getOrElse(Int.MaxValue)
       val spark = session()
       val docsPath = strOpt("--docs")
       if (rest.contains("-u")) {
@@ -309,7 +327,7 @@ object Cli {
     case "fuzzy" :: dir :: ratio :: rest if rest.nonEmpty =>
       fuzzyCmd(dir, ratio, rest, sortGlobal = false)
     case "bm25" :: dir :: k :: mode :: terms if terms.nonEmpty =>
-      showR(new Search(session(), dir).bm25TopK(terms, k.toInt, mode == "and"))
+      showR(new Search(session(), dir).bm25TopK(terms, intArg(k, "K"), mode == "and"))
     case "files" :: dir :: terms if terms.nonEmpty =>
       showR(new Search(session(), dir).searchFiles(terms))
     case "delete" :: dir :: urls if urls.nonEmpty =>

@@ -110,13 +110,17 @@ object GoFormat {
         var j = i + 1
         var explicitIdx = false
         val prevArgIdx = argIdx
-        val specStart = j
-        while (j < fmt.length &&
-               (fmt.charAt(j).isDigit || "+- #0.".contains(fmt.charAt(j)))) j += 1
-        // Go's explicit argument index sits immediately before the verb,
-        // AFTER any flags/width/precision: `%4.1[4]f` (fuzzyLineFormat,
-        // fts-lmdb.go:58) as well as the plain `%[6]s` forms
-        val spec0End = j
+        // Go's fmt tries argNumber after the flags/width/precision scan AND
+        // again before the verb, so both `%4.1[4]f` (fuzzyLineFormat,
+        // fts-lmdb.go:58) and `%[2]5d` are valid — scan spec chars on both
+        // sides of an optional [N] and concatenate
+        def scanSpec(): String = {
+          val s = j
+          while (j < fmt.length &&
+                 (fmt.charAt(j).isDigit || "+- #0.".contains(fmt.charAt(j)))) j += 1
+          fmt.substring(s, j)
+        }
+        val specA = scanSpec()
         if (j < fmt.length && fmt.charAt(j) == '[') {
           val close = fmt.indexOf(']', j)
           if (close > j + 1 &&
@@ -126,9 +130,9 @@ object GoFormat {
             j = close + 1
           }
         }
+        val spec = specA + (if (explicitIdx) scanSpec() else "")
         if (j >= fmt.length) { sb.append(fmt.substring(i)); i = fmt.length }
         else {
-          val spec = fmt.substring(specStart, spec0End)
           val verb = fmt.charAt(j)
           val missing = argIdx < 0 || argIdx >= args.length
           val a = if (!missing) args(argIdx) else null

@@ -108,6 +108,21 @@ class CliSpec extends SparkSuite {
     val out = captureOut(assert(
       Cli.run(Array("search", dir, "one", "--limit", "1", "-n")) == 0))
     assert(out == s"$url:1\n")
+    // malformed numerics fail through the exit-code contract, not as a
+    // NumberFormatException stack trace escaping run()
+    assert(Cli.run(Array("search", dir, "one", "--limit", "xx")) == 1)
+    assert(Cli.run(Array("fuzzy", dir, "zz", "three")) == 1)
+    assert(Cli.run(Array("bm25", dir, "zz", "or", "one")) == 1)
+  }
+
+  test("fuzzy-sort --limit caps per group, keeping each group's best match") {
+    // per-group limit applies BEFORE the global ratio-ascending walk
+    // (reference chunk-fetch limit, fts-lmdb.go:1359-1362): with 3 equal-
+    // ratio matches in the one group, --limit 1 keeps the best (doc_id
+    // tie-break -> line 2), not the global-walk prefix
+    val out = captureOut(assert(Cli.run(Array("fuzzy-sort", dir, "0.5",
+      "three", "--limit", "1", "--start-format", "")) == 0))
+    assert(out == s"$url:2:100.0%:two three\\n\n")
   }
 
   test("an OLDER current version is fresh (strictly-newer staleness)") {

@@ -53,6 +53,10 @@ class GoFormatSpec extends AnyFunSuite {
     assert(GoFormat.format(fmt, 7L, 5, 0, 5.0, "x", "f.org") ==
       "f.org:5: 5.0%:x\n")
     assert(GoFormat.format("%4.1[4]f", 1, 2, 3, 80.0) == "80.0")
+    // Go also accepts the index BEFORE the width (fmt tries argNumber both
+    // after the flag scan and before the verb): %[2]5d == %5[2]d
+    assert(GoFormat.format("%[2]5d", 1, 42) == "   42")
+    assert(GoFormat.format("%5[2]d", 1, 42) == "   42")
   }
 
   test("format: explicit [N] re-seats the implicit cursor (Go semantics)") {
