@@ -163,6 +163,16 @@ object SparkEntry {
     // three scales
     "q42_jaccard_capped" -> ((s, d) =>
       Dedup.jaccardPairs(docsTable(s, d), 500, maxShingleDf = 16)),
+    // ---- benchmark decontamination: corpus docs sharing >= 2 shingles
+    // with a synthetic "eval suite" (every 53rd doc's 12-word prefix) —
+    // benchmark side broadcasts, corpus scanned once
+    "q43_decontamination" -> ((s, d) => {
+      val bench = TextOps.withWords(docsTable(s, d))
+        .where(col("doc_id") % 53 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(col("arr"), 1, 12)).as("text"))
+      Dedup.contaminationPairs(docsTable(s, d), bench, minCommon = 2)
+    }),
     "q22_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(docsTable(s, d), 600)),
     "q23_simhash" -> ((s, d) => Dedup.simhash(docsTable(s, d))),
     // ---- similarity search
@@ -382,6 +392,22 @@ object SparkEntry {
     // cap 16 emits every qualifying pair on these corpora -> same oracle
     "q42_jaccard_capped" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
+    "q43_decontamination" ->
+      s"""WITH w AS ($W),
+          sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+            FROM w WHERE len(arr) >= 3)),
+          bw AS (SELECT doc_id AS bench_id, arr[1:12] AS arr FROM w
+                 WHERE doc_id % 53 = 0),
+          bsh AS (SELECT DISTINCT bench_id, s FROM (
+            SELECT bench_id, unnest(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+            FROM bw WHERE len(arr) >= 3))
+          SELECT sh.doc_id, bsh.bench_id, count(*) AS common
+          FROM sh JOIN bsh ON sh.s = bsh.s
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY doc_id, bench_id""",
     "q22_minhash_lsh_pairs" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 600 ORDER BY da, db",
     "q23_simhash" ->

@@ -103,6 +103,25 @@ object Dedup {
       .select("da", "db", "jaccard_permille").orderBy("da", "db")
   }
 
+  /** Benchmark decontamination: flag (corpus doc, benchmark doc) pairs that
+    * share >= `minCommon` distinct word-3-shingles — the standard
+    * eval-suite leakage check a training-data pipeline runs before a model
+    * sees the corpus. `benchmark` is (bench_id, text) and is TINY by
+    * construction (eval suites are thousands of rows), so its shingle set
+    * broadcasts; the corpus is scanned ONCE, shingled map-side, and only
+    * matching (doc_id, bench_id, shingle) rows enter the count aggregate —
+    * no corpus shuffle, no self-join, the right 100 TB shape.
+    */
+  def contaminationPairs(docs: DataFrame, benchmark: DataFrame,
+                         minCommon: Int): DataFrame = {
+    val bs = shingles(benchmark.select(col("bench_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("bench_id"), col("s"))
+    shingles(docs).join(broadcast(bs), Seq("s"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+      .select("doc_id", "bench_id", "common").orderBy("doc_id", "bench_id")
+  }
+
   /** Integer shingle hash, identical in Spark and DuckDB SQL:
     * fold chars: (acc*31 + codepoint) % 1000000007.
     */

@@ -19,6 +19,26 @@ object Profile {
       f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // PROFILE_MODE=search PROFILE_IDX=<dir>: decompose the search
+    // pipeline's cost on a live index (candidates kernel vs hydration join
+    // vs verify vs final order) — each step includes the previous ones
+    if (sys.env.get("PROFILE_MODE").contains("search")) {
+      val dir = sys.env("PROFILE_IDX")
+      val terms = sys.env.getOrElse("PROFILE_TERMS", "word,one").split(",").toSeq
+      val s = new graft.query.Search(spark, dir)
+      val docs = spark.read.parquet(graft.build.IndexBuild.docsDir(dir))
+      for (_ <- 1 to 2) {
+        t("candidates kernel")(s.candidates(terms).count())
+        t("+ hydration join")(
+          docs.join(s.candidates(terms).hint("SHUFFLE_HASH"), Seq("doc_id")).count())
+        t("+ verify")(
+          docs.join(s.candidates(terms).hint("SHUFFLE_HASH"), Seq("doc_id"))
+            .where(graft.functions.VerifyMatch(col("chunk_text"), terms,
+              partial = false) >= 0).count())
+        t("full search (incl order)")(s.search(terms).count())
+      }
+      spark.stop(); return
+    }
     val corpus = WebCorpus.generate(spark, n, 42L, cpus)
     t("generate+count")(corpus.count())
     val src = corpus

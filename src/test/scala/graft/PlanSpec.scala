@@ -139,6 +139,20 @@ class PlanSpec extends SparkSuite {
     assert(!plan(inl).contains("LeftAnti"))
   }
 
+  test("contaminationPairs broadcasts the benchmark side, never the corpus") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"alpha beta gamma w$i x${i % 7} y${i % 5} z${i % 3} end"))
+      .toDF("doc_id", "text")
+    val bench = (0L until 3L).map(i => (i, s"alpha beta gamma w$i"))
+      .toDF("bench_id", "text")
+    val df = graft.ops.Dedup.contaminationPairs(docs, bench, 2)
+    assert(df.count() >= 3) // the source docs at least
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
   test("cosineTopK broadcasts the query side, never the corpus") {
     import spark.implicits._
     val emb = (0L until 40L).map(i =>
