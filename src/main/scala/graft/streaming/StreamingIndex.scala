@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.functions._
 import graft.build.IndexBuild
 import graft.maint.Maintenance
@@ -35,6 +35,60 @@ object StreamingIndex {
         upsertBatch(spark, batch, indexDir, cfg)
       }
       .start()
+  }
+
+  /** Event-time ingestion monitoring: per (event-time window, lang) page
+    * and byte counts over the crawl stream — watermarked so state is
+    * bounded and windows close (append-mode capable). The streaming analog
+    * of the `info` view, for watching a 100 TB crawl land: partial
+    * aggregation happens map-side per micro-batch; only per-window partials
+    * shuffle.
+    */
+  def ingestionStats(docsStream: DataFrame,
+                     windowLen: String = "10 minutes",
+                     lateness: String = "1 hour"): DataFrame =
+    docsStream
+      .withWatermark("warc_ts", lateness)
+      .groupBy(window(col("warc_ts"), windowLen), col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+
+  /** Stateful per-url version dedup (`flatMapGroupsWithState`): emit a page
+    * only when its warc_ts is strictly newer than the newest version this
+    * stream has already emitted for that url — the streaming guard that
+    * keeps re-crawled duplicates and out-of-order stale versions from ever
+    * reaching [[upsertBatch]] (which would tombstone + re-add them).
+    * State per url is ONE timestamp; event-time timeout expires idle urls
+    * at the watermark so state stays bounded by the active-url set, not
+    * crawl history.
+    */
+  def dedupVersions(docsStream: DataFrame, lateness: String = "1 hour")
+      : Dataset[(String, java.sql.Timestamp, String, String)] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    docsStream
+      .withWatermark("warc_ts", lateness)
+      .select($"url", $"warc_ts", $"text", $"lang")
+      .as[(String, java.sql.Timestamp, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, java.sql.Timestamp, String, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var newest = state.getOption.getOrElse(Long.MinValue)
+            // process in event-time order so one batch carrying several
+            // versions emits only the strictly-increasing ones
+            val out = rows.toSeq.sortBy(_._2.getTime).filter { r =>
+              val t = r._2.getTime
+              if (t > newest) { newest = t; true } else false
+            }
+            state.update(newest)
+            state.setTimeoutTimestamp(newest, lateness)
+            out.iterator
+          }
+      }
   }
 
   /** Merge one micro-batch of new/updated pages into the index as a

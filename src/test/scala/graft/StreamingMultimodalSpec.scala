@@ -69,6 +69,57 @@ class StreamingMultimodalSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming version dedup (flatMapGroupsWithState) + windowed ingestion stats") {
+    implicit val sqlCtx = spark.sqlContext
+    // epoch-minute-aligned base so window() boundaries land at sec 0/60
+    def row(url: String, sec: Long, text: String) =
+      (url, new java.sql.Timestamp(1600000020000L + sec * 1000), text, "en")
+
+    // ---- dedupVersions: only strictly-newer versions per url pass
+    val mem = MemoryStream[(String, java.sql.Timestamp, String, String)]
+    val deduped = StreamingIndex.dedupVersions(
+      mem.toDF().toDF("url", "warc_ts", "text", "lang"))
+      .toDF("url", "warc_ts", "text", "lang")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // one batch with duplicate + out-of-order versions of u1
+      mem.addData(row("u1", 10, "v1"), row("u1", 30, "v3"), row("u1", 20, "v2"),
+        row("u2", 5, "w1"))
+      q.processAllAvailable()
+      // a later batch: a stale version (sec 25 < emitted 30) and a fresh one
+      mem.addData(row("u1", 25, "stale"), row("u1", 40, "v4"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"url", $"text").as[(String, String)].collect().toSet
+      // within the first batch only the event-time-increasing versions pass
+      assert(got == Set(("u1", "v1"), ("u1", "v2"), ("u1", "v3"),
+        ("u1", "v4"), ("u2", "w1")))
+      assert(!got.contains(("u1", "stale")))
+    } finally q.stop()
+
+    // ---- ingestionStats: watermarked event-time windows close and emit
+    val mem2 = MemoryStream[(String, java.sql.Timestamp, String, String)]
+    val stats = StreamingIndex.ingestionStats(
+      mem2.toDF().toDF("url", "warc_ts", "text", "lang"),
+      windowLen = "1 minute", lateness = "0 seconds")
+    val q2 = stats.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      mem2.addData(row("a", 10, "xx"), row("b", 20, "yyy"), row("c", 70, "z"))
+      q2.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      mem2.addData(row("d", 500, "q"))
+      q2.processAllAvailable()
+      val rows = spark.table("ingest_out")
+        .select($"window.start".cast("long"), $"n_pages", $"n_chars")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.length >= 2)
+      assert(rows(0)._2 == 2 && rows(0)._3 == 5) // window 1: a+b, 2+3 chars
+      assert(rows(1)._2 == 1 && rows(1)._3 == 1) // window 2: c
+    } finally q2.stop()
+  }
+
   test("multimodal: decode stub roundtrip, batched feature extraction, frame plan") {
     val media = Multimodal.generate(spark, 60, partitions = 4)
     val feats = Multimodal.extractFeatures(media).collect()
