@@ -29,6 +29,16 @@ object SparkEntry {
   private def embTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** documents with deterministic synthetic boilerplate appended: one
+    * footer shared by every doc, one by even doc_ids (q44/q45 inputs —
+    * the natural corpus has almost no verbatim-repeated lines).
+    */
+  private def footered(spark: SparkSession, dir: String): DataFrame =
+    docsTable(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit("\ncopyright example corp all rights reserved"),
+        when(col("doc_id") % 2 === 0, lit("\nsubscribe to our newsletter"))
+          .otherwise(lit(""))).as("text"))
+
   /** Build (once) a whole-doc-chunk index over documents.parquet.
     * url = zero-padded doc_id so engine doc ids == documents.doc_id.
     */
@@ -163,6 +173,13 @@ object SparkEntry {
     // three scales
     "q42_jaccard_capped" -> ((s, d) =>
       Dedup.jaccardPairs(docsTable(s, d), 500, maxShingleDf = 16)),
+    // ---- boilerplate-line detection + removal (C4-style cleaning) over a
+    // corpus with a synthetic shared footer (every doc) and a second
+    // footer on even doc_ids — plus whatever lines repeat naturally
+    "q44_boilerplate_lines" -> ((s, d) =>
+      TextOps.boilerplateLines(footered(s, d), minDocs = 3)),
+    "q45_strip_boilerplate" -> ((s, d) =>
+      TextOps.stripBoilerplate(footered(s, d), minDocs = 3)),
     // ---- benchmark decontamination: corpus docs sharing >= 2 shingles
     // with a synthetic "eval suite" (every 53rd doc's 12-word prefix) —
     // benchmark side broadcasts, corpus scanned once
@@ -273,6 +290,14 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** documents + synthetic boilerplate — the SQL mirror of [[footered]]. */
+  private val FooterCte =
+    """WITH f AS (SELECT doc_id,
+         text || chr(10) || 'copyright example corp all rights reserved' ||
+         CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter'
+              ELSE '' END AS text
+       FROM documents)"""
 
   private val W =
     "SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS arr FROM documents"
@@ -392,6 +417,23 @@ object SparkEntry {
     // cap 16 emits every qualifying pair on these corpora -> same oracle
     "q42_jaccard_capped" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
+    "q44_boilerplate_lines" ->
+      s"""$FooterCte,
+          l AS (SELECT DISTINCT doc_id, line FROM (
+            SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+              x -> x <> '')) AS line FROM f))
+          SELECT line, count(*) AS n_docs FROM l
+          GROUP BY 1 HAVING count(*) >= 3 ORDER BY line""",
+    "q45_strip_boilerplate" ->
+      s"""$FooterCte,
+          l AS (SELECT DISTINCT doc_id, line FROM (
+            SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+              x -> x <> '')) AS line FROM f)),
+          bp AS (SELECT list(line) AS bp FROM (
+            SELECT line FROM l GROUP BY 1 HAVING count(*) >= 3))
+          SELECT doc_id, array_to_string(list_filter(string_split(f.text, chr(10)),
+            x -> NOT list_contains(bp.bp, x)), chr(10)) AS text
+          FROM f, bp ORDER BY doc_id""",
     "q43_decontamination" ->
       s"""WITH w AS ($W),
           sh AS (SELECT DISTINCT doc_id, s FROM (

@@ -48,6 +48,40 @@ object TextOps {
         explode(expr("transform(sequence(1, length(p)-2), i -> substring(p, i, 3))")).as("gram"))
       .distinct()
 
+  /** Boilerplate-line detection (C4/RefinedWeb-style cleaning): lines that
+    * appear verbatim in >= `minDocs` DISTINCT documents — navigation
+    * chrome, cookie banners, footers. One shuffle keyed by the line text
+    * with a map-side distinct (doc_id, line) projection; at 100 TB a
+    * two-level hash (line digest first) keeps the key narrow — here the
+    * aggregation key is md5(line) and the line rides along as a max()
+    * payload, so raw text never forms the shuffle key.
+    */
+  def boilerplateLines(docs: DataFrame, minDocs: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(filter(split(col("text"), "\n"), l => l =!= "")).as("line"))
+      .distinct()
+      .groupBy(md5(col("line")).as("h"))
+      .agg(max(col("line")).as("line"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("line"), col("n_docs"))
+      .orderBy("line")
+
+  /** [[boilerplateLines]] applied: documents with their boilerplate lines
+    * removed (empty lines preserved as document structure). The boilerplate
+    * set is data-dependent but SMALL (it is the high-df tail), so it
+    * broadcasts into a map-side array-filter — the corpus is rewritten in
+    * one pass with no shuffle.
+    */
+  def stripBoilerplate(docs: DataFrame, minDocs: Int): DataFrame = {
+    val bp = boilerplateLines(docs, minDocs).select(col("line"))
+      .agg(collect_set(col("line")).as("bp"))
+    docs.crossJoin(broadcast(bp))
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), "\n"),
+          l => !array_contains(col("bp"), l)), "\n").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Gram document frequencies (reference posting-list cardinality, A2). */
   def gramDf(docs: DataFrame): DataFrame =
     docGrams(docs).groupBy("gram").agg(count(lit(1)).as("df")).orderBy("gram")
