@@ -180,6 +180,13 @@ object SparkEntry {
       TextOps.boilerplateLines(footered(s, d), minDocs = 3)),
     "q45_strip_boilerplate" -> ((s, d) =>
       TextOps.stripBoilerplate(footered(s, d), minDocs = 3)),
+    // ---- URL canonicalization over deterministically messy urls (mixed
+    // case, default ports, trailing slashes, utm params, fragments) — the
+    // crawl-dedup key function
+    "q46_url_canonical" -> ((s, d) =>
+      docsTable(s, d).select(col("doc_id"),
+          TextOps.canonicalizeUrl(messyUrl).as("url_canon"))
+        .orderBy("doc_id")),
     // ---- benchmark decontamination: corpus docs sharing >= 2 shingles
     // with a synthetic "eval suite" (every 53rd doc's 12-word prefix) —
     // benchmark side broadcasts, corpus scanned once
@@ -290,6 +297,15 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** Deterministically messy url per doc (q46 input). */
+  private def messyUrl = concat(
+    lit("HTTP://ExAmple"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+    when(col("doc_id") % 3 === 0, ":80").otherwise(""),
+    lit("/path/"), (col("doc_id") % 11).cast("string"),
+    when(col("doc_id") % 2 === 0, "/").otherwise(""),
+    when(col("doc_id") % 5 === 0, "?utm_source=x&b=2&a=1").otherwise("?b=2&a=1"),
+    when(col("doc_id") % 4 === 0, "#frag").otherwise(""))
 
   /** documents + synthetic boilerplate — the SQL mirror of [[footered]]. */
   private val FooterCte =
@@ -417,6 +433,31 @@ object SparkEntry {
     // cap 16 emits every qualifying pair on these corpora -> same oracle
     "q42_jaccard_capped" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
+    "q46_url_canonical" ->
+      """WITH m AS (SELECT doc_id,
+           'HTTP://ExAmple' || (doc_id % 7) || '.COM' ||
+           CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+           '/path/' || (doc_id % 11) ||
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '?b=2&a=1' END ||
+           CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS u
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS nf FROM m),
+         s2 AS (SELECT doc_id, nf,
+           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS pre FROM s1),
+         s3 AS (SELECT doc_id, lower(pre) AS sh, substr(nf, length(pre) + 1) AS rest FROM s2),
+         s4 AS (SELECT doc_id,
+           CASE WHEN starts_with(sh, 'http://') THEN regexp_replace(sh, ':80$', '')
+                WHEN starts_with(sh, 'https://') THEN regexp_replace(sh, ':443$', '')
+                ELSE sh END AS sh2,
+           regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(rest, '^[^?]*[?](.*)$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS q2
+           FROM s3)
+         SELECT doc_id,
+           sh2 || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
+         FROM s4 ORDER BY doc_id""",
     "q44_boilerplate_lines" ->
       s"""$FooterCte,
           l AS (SELECT DISTINCT doc_id, line FROM (

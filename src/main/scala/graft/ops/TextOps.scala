@@ -82,6 +82,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization for crawl dedup — pure Catalyst expression, one
+    * map-side pass, no UDF. Rules (the standard crawl-frontier set):
+    * fragment dropped; scheme+authority lowercased; default ports stripped
+    * (`:80` http, `:443` https); trailing path slashes stripped; tracking
+    * params removed (`utm_*`, `fbclid`, `gclid`) and the survivors SORTED
+    * so param order never splits a dedup group. Strings without a
+    * `scheme://authority` prefix pass through the path/query rules only.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val sh = lower(prefix)
+    val sh2 = when(sh.startsWith("http://"), regexp_replace(sh, ":80$", ""))
+      .when(sh.startsWith("https://"), regexp_replace(sh, ":443$", ""))
+      .otherwise(sh)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val path = regexp_replace(regexp_extract(rest, "^[^?]*", 0), "/+$", "")
+    val query = regexp_extract(rest, "^[^?]*[?](.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    val q2 = array_join(kept, "&")
+    concat(sh2, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
   /** Gram document frequencies (reference posting-list cardinality, A2). */
   def gramDf(docs: DataFrame): DataFrame =
     docGrams(docs).groupBy("gram").agg(count(lit(1)).as("df")).orderBy("gram")
