@@ -180,6 +180,10 @@ object SparkEntry {
       TextOps.boilerplateLines(footered(s, d), minDocs = 3)),
     "q45_strip_boilerplate" -> ((s, d) =>
       TextOps.stripBoilerplate(footered(s, d), minDocs = 3)),
+    // ---- Gopher-style repetition quality signals over the footered
+    // corpus (the shared footer makes dup-line fractions non-trivial)
+    "q47_repetition_signals" -> ((s, d) =>
+      TextOps.repetitionSignals(footered(s, d))),
     // ---- URL canonicalization over deterministically messy urls (mixed
     // case, default ports, trailing slashes, utm params, fragments) — the
     // crawl-dedup key function
@@ -433,6 +437,24 @@ object SparkEntry {
     // cap 16 emits every qualifying pair on these corpora -> same oracle
     "q42_jaccard_capped" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",
+    "q47_repetition_signals" ->
+      s"""$FooterCte,
+          w AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^0-9a-z]+'), x -> x <> '') AS arr FROM f),
+          ls AS (SELECT doc_id, list_filter(string_split(text, chr(10)),
+            x -> x <> '') AS ls FROM f),
+          l2 AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS ndl
+                 FROM ls),
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+            i -> arr[i] || ' ' || arr[i+1])) AS b FROM w WHERE len(arr) >= 2),
+          top AS (SELECT doc_id, max(c) AS maxc, sum(c)::BIGINT AS nb FROM (
+            SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+          SELECT l2.doc_id,
+            CASE WHEN nl = 0 THEN 0 ELSE ((nl - ndl) * 1000) // nl END
+              AS dup_line_permille,
+            coalesce((maxc * 1000) // nb, 0) AS top_bigram_permille
+          FROM l2 LEFT JOIN top ON l2.doc_id = top.doc_id
+          ORDER BY l2.doc_id""",
     "q46_url_canonical" ->
       """WITH m AS (SELECT doc_id,
            'HTTP://ExAmple' || (doc_id % 7) || '.COM' ||

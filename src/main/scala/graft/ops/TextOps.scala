@@ -82,6 +82,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition quality signals, integer-exact permille:
+    * duplicate-line fraction (boilerplate/spam marker) and the share of
+    * the most frequent word bigram (keyword-stuffing marker). Line dedup
+    * is in-row (array_distinct); the bigram share explodes to
+    * (doc_id, bigram) and aggregates — one shuffle, partial-agg map-side,
+    * never quadratic in-row work on long documents.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        filter(split(col("text"), "\n"), l => l =!= "").as("ls"))
+      .select(col("doc_id"), size(col("ls")).as("nl"),
+        size(array_distinct(col("ls"))).as("ndl"))
+    val bg = withWords(docs)
+      .where(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(arr)-1), i -> concat(element_at(arr,i), ' ', element_at(arr,i+1)))")).as("b"))
+    val top = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("nb"))
+    lines.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("nl") === 0, lit(0L))
+          .otherwise(expr("((nl - ndl) * 1000) div nl")).cast("long")
+          .as("dup_line_permille"),
+        coalesce(expr("(maxc * 1000) div nb"), lit(0L)).cast("long")
+          .as("top_bigram_permille"))
+      .orderBy("doc_id")
+  }
+
   /** URL canonicalization for crawl dedup — pure Catalyst expression, one
     * map-side pass, no UDF. Rules (the standard crawl-frontier set):
     * fragment dropped; scheme+authority lowercased; default ports stripped
