@@ -155,11 +155,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, thresholdPermille: Int): DataFrame = {
     val sig = minhashSignatures(docs)
     val nBands = NumHashes / BandRows
-    val bands = (0 until nBands).map { bIdx =>
+    // ONE pass over the signatures: explode an in-row array of (band, key)
+    // structs instead of unioning nBands re-scans of the aggregate
+    val bandStructs = (0 until nBands).map { bIdx =>
       val cols = (bIdx * BandRows until (bIdx + 1) * BandRows).map(i => col(s"m$i"))
-      sig.select(col("doc_id"), lit(bIdx).as("band"),
-        concat_ws("_", cols: _*).as("bkey"))
-    }.reduce(_ union _)
+      struct(lit(bIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

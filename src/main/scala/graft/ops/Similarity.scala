@@ -105,12 +105,16 @@ object Similarity {
     */
   def lshBandedBuckets(emb: DataFrame): DataFrame = {
     val planesPerBand = LshPlanes / LshBands
-    val b = lshBuckets(emb)
-    (0 until LshBands).map { bi =>
+    // one pass: in-row (band, bkey) structs exploded, not a union of
+    // LshBands re-scans of the bucket computation
+    val bandStructs = (0 until LshBands).map { bi =>
       val lo = bi * planesPerBand
-      b.select(col("vec_id"), lit(bi).as("band"),
+      struct(lit(bi).as("band"),
         expr(s"(bucket >> $lo) & ${(1 << planesPerBand) - 1}").as("bkey"))
-    }.reduce(_ union _)
+    }
+    lshBuckets(emb)
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Raw-double cosine with the same explicit left-to-right fold as
