@@ -475,7 +475,7 @@ object SparkEntry {
            regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path,
            array_to_string(list_sort(list_filter(
              string_split(regexp_extract(rest, '^[^?]*[?](.*)$', 1), '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS q2
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS q2
            FROM s3)
          SELECT doc_id,
            sh2 || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
@@ -495,7 +495,7 @@ object SparkEntry {
           bp AS (SELECT list(line) AS bp FROM (
             SELECT line FROM l GROUP BY 1 HAVING count(*) >= 3))
           SELECT doc_id, array_to_string(list_filter(string_split(f.text, chr(10)),
-            x -> NOT list_contains(bp.bp, x)), chr(10)) AS text
+            x -> NOT list_contains(coalesce(bp.bp, []), x)), chr(10)) AS text
           FROM f, bp ORDER BY doc_id""",
     "q43_decontamination" ->
       s"""WITH w AS ($W),

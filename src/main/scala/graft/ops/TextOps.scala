@@ -59,9 +59,11 @@ object TextOps {
   def boilerplateLines(docs: DataFrame, minDocs: Int): DataFrame =
     docs.select(col("doc_id"),
         explode(filter(split(col("text"), "\n"), l => l =!= "")).as("line"))
-      .distinct()
       .groupBy(md5(col("line")).as("h"))
-      .agg(max(col("line")).as("line"), count(lit(1)).as("n_docs"))
+      // countDistinct's partial-distinct key is (h, doc_id) — the line text
+      // itself only ever rides as an aggregate payload, never a shuffle key
+      .agg(max(col("line")).as("line"),
+        countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("line"), col("n_docs"))
       .orderBy("line")
@@ -90,10 +92,12 @@ object TextOps {
     * never quadratic in-row work on long documents.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    // long arithmetic from the start: (nl - ndl) * 1000 in Int would wrap
+    // on a ~2M-duplicate-line spam doc and diverge from the BIGINT oracle
     val lines = docs.select(col("doc_id"),
         filter(split(col("text"), "\n"), l => l =!= "").as("ls"))
-      .select(col("doc_id"), size(col("ls")).as("nl"),
-        size(array_distinct(col("ls"))).as("ndl"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("nl"),
+        size(array_distinct(col("ls"))).cast("long").as("ndl"))
     val bg = withWords(docs)
       .where(size(col("arr")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -128,8 +132,10 @@ object TextOps {
     val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
     val path = regexp_replace(regexp_extract(rest, "^[^?]*", 0), "/+$", "")
     val query = regexp_extract(rest, "^[^?]*[?](.*)$", 1)
+    // (=|$): valueless click-ids ('?fbclid', '?utm_source') are tracking
+    // params too — requiring '=' would split dedup groups on them
     val kept = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
     val q2 = array_join(kept, "&")
     concat(sh2, path,
       when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))

@@ -62,12 +62,12 @@ object StreamingIndex {
     * at the watermark so state stays bounded by the active-url set, not
     * crawl history.
     */
-  def dedupVersions(docsStream: DataFrame, lateness: String = "1 hour")
+  def dedupVersions(docsStream: DataFrame, latenessMs: Long = 3600000L)
       : Dataset[(String, java.sql.Timestamp, String, String)] = {
     val spark = docsStream.sparkSession
     import spark.implicits._
     docsStream
-      .withWatermark("warc_ts", lateness)
+      .withWatermark("warc_ts", s"${latenessMs / 1000} seconds")
       .select($"url", $"warc_ts", $"text", $"lang")
       .as[(String, java.sql.Timestamp, String, String)]
       .groupByKey(_._1)
@@ -85,7 +85,12 @@ object StreamingIndex {
               if (t > newest) { newest = t; true } else false
             }
             state.update(newest)
-            state.setTimeoutTimestamp(newest, lateness)
+            // clamp: late-data filtering uses the PREVIOUS batch's
+            // watermark, so a row can reach here whose newest+lateness is
+            // already below the CURRENT eviction watermark — an unclamped
+            // setTimeoutTimestamp would throw and kill the whole query
+            state.setTimeoutTimestamp(
+              math.max(newest + latenessMs, state.getCurrentWatermarkMs + 1))
             out.iterator
           }
       }

@@ -25,7 +25,11 @@ object Profile {
     if (sys.env.get("PROFILE_MODE").contains("search")) {
       val dir = sys.env("PROFILE_IDX")
       val terms = sys.env.getOrElse("PROFILE_TERMS", "word,one").split(",").toSeq
-      val s = new graft.query.Search(spark, dir)
+      // gate 0 forces the SHUFFLE_HASH hydration path in search() too, so
+      // every profiled step (including "full search") measures the SAME
+      // plan family — otherwise a low-df query would inline-hydrate in
+      // search() while the decomposition steps time the join pipeline
+      val s = new graft.query.Search(spark, dir, maxInlineCandidates = 0)
       val docs = spark.read.parquet(graft.build.IndexBuild.docsDir(dir))
       for (_ <- 1 to 2) {
         t("candidates kernel")(s.candidates(terms).count())
