@@ -39,6 +39,25 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, lit("\nsubscribe to our newsletter"))
           .otherwise(lit(""))).as("text"))
 
+  /** documents with deterministic exact duplicates seeded: every 53rd doc
+    * reappears verbatim under doc_id + 10^7 (q20 input — the natural corpus
+    * has NO exact full-text duplicates, which left q20 vacuously green on
+    * two empty sets until round 4's verdict flagged it).
+    */
+  private def dupSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsTable(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 53 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
+  /** q42's candidate-generation df cap. Calibrated: the worst qualifying
+    * pair's MIN shared-shingle df is 4 (sf0.001), 3 (sf0.01), 10 (sf0.1) —
+    * Verify re-derives that number per corpus via
+    * [[graft.ops.Dedup.requiredShingleDfCap]] and fails with a distinct
+    * "cap miscalibrated" message if a regenerated corpus outgrows this.
+    */
+  final val JaccardOracleCap = 16L
+
   /** Build (once) a whole-doc-chunk index over documents.parquet.
     * url = zero-padded doc_id so engine doc ids == documents.doc_id.
     */
@@ -163,16 +182,19 @@ object SparkEntry {
     "q17_compacted_df" -> ((s, d) => TextOps.compactedDf(docsTable(s, d))),
     // ---- dedup suite
     "q19_dedup_prefix" -> ((s, d) => Dedup.prefixDupGroups(docsTable(s, d), 8)),
-    "q20_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(docsTable(s, d))),
-    "q21_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docsTable(s, d), 500)),
+    // over the dup-seeded corpus so the operator proves itself on nonzero
+    // rows (the natural corpus has no exact duplicates)
+    "q20_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(dupSeeded(s, d))),
+    "q21_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(docsTable(s, d), 500, allowUncapped = true)),
     // capped candidate generation + exact verify: agrees with q21 whenever
     // every qualifying pair shares at least one shingle with df <= cap.
     // Measured worst qualifying pair's MIN shared-shingle df: 4 (sf0.001),
     // 3 (sf0.01), 10 (sf0.1); max shingle df 9/7/25 — cap 16 drops 669
     // hot shingles at sf0.1 yet preserves every qualifying pair at all
-    // three scales
+    // three scales; Verify's self-check re-measures per corpus
     "q42_jaccard_capped" -> ((s, d) =>
-      Dedup.jaccardPairs(docsTable(s, d), 500, maxShingleDf = 16)),
+      Dedup.jaccardPairs(docsTable(s, d), 500, maxShingleDf = JaccardOracleCap)),
     // ---- boilerplate-line detection + removal (C4-style cleaning) over a
     // corpus with a synthetic shared footer (every doc) and a second
     // footer on even doc_ids — plus whatever lines repeat naturally
@@ -429,7 +451,11 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM ($W)
           GROUP BY array_to_string(arr[1:8], ' ') HAVING count(*) > 1 ORDER BY keeper""",
     "q20_dedup_exact" ->
-      """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000, text FROM documents
+                    WHERE doc_id % 53 = 0)
+         SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM d
          GROUP BY text HAVING count(*) > 1 ORDER BY keeper""",
     "q21_jaccard_pairs" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 500 ORDER BY da, db",

@@ -22,6 +22,23 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q42 cap self-check: its oracle equality (capped candidates == uncapped
+    // Jaccard) is a measured property of the corpus — every qualifying pair
+    // must share at least one shingle with df <= cap. Re-derive the worst
+    // pair's requirement here so a regenerated/new corpus fails with a
+    // DISTINCT message instead of a generic q42 parity mismatch.
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.ops.Dedup.requiredShingleDfCap(docs, 500).foreach { need =>
+        if (need > SparkEntry.JaccardOracleCap)
+          System.err.println(s"[verify] q42 cap miscalibrated for $sfDir: " +
+            s"worst qualifying pair needs maxShingleDf >= $need but " +
+            s"JaccardOracleCap = ${SparkEntry.JaccardOracleCap} — raise the " +
+            "cap (q42 will show a parity mismatch until then)")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q42 cap self-check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

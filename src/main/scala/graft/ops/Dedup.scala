@@ -44,21 +44,29 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs >= threshold (permille, integer):
     * shingle self-join -> common counts -> |A ∪ B| = |A|+|B|-common.
     *
-    * `maxShingleDf = 0` (the oracle shape) self-joins EVERY shingle — exact
-    * but pair-quadratic in hot shingles, so it must never run uncapped on a
-    * real corpus. With `maxShingleDf > 0`, shingles whose document
-    * frequency exceeds the cap are dropped from CANDIDATE GENERATION only;
-    * surviving candidate pairs are then verified against the FULL shingle
-    * sets, so every reported Jaccard is still the true one. The only
-    * approximation is recall: a qualifying pair is missed iff ALL of its
-    * shared shingles are hotter than the cap — for near-duplicates (many
-    * shared shingles, most of them rare) that is vanishingly unlikely, and
-    * the capped path's join cost is bounded by cap * df-capped shingle
-    * count instead of sum(df^2). This is the 100 TB-safe way to call this
-    * operator directly; MinHash+LSH remains the preferred scale path.
+    * Safe by default: a call must either set `maxShingleDf > 0` or opt in
+    * to the uncapped shape explicitly. `maxShingleDf = 0` with
+    * `allowUncapped = true` (the oracle shape) self-joins EVERY shingle —
+    * exact but pair-quadratic in hot shingles, so it must never run on a
+    * real corpus; the signature enforces the choice instead of documenting
+    * it. With `maxShingleDf > 0`, shingles whose document frequency exceeds
+    * the cap are dropped from CANDIDATE GENERATION only; surviving
+    * candidate pairs are then verified against the FULL shingle sets, so
+    * every reported Jaccard is still the true one. The only approximation
+    * is recall: a qualifying pair is missed iff ALL of its shared shingles
+    * are hotter than the cap — for near-duplicates (many shared shingles,
+    * most of them rare) that is vanishingly unlikely, and the capped path's
+    * join cost is bounded by cap * df-capped shingle count instead of
+    * sum(df^2). This is the 100 TB-safe way to call this operator directly;
+    * MinHash+LSH remains the preferred scale path.
     */
   def jaccardPairs(docs: DataFrame, thresholdPermille: Int,
-                   maxShingleDf: Long = 0L): DataFrame = {
+                   maxShingleDf: Long = 0L,
+                   allowUncapped: Boolean = false): DataFrame = {
+    require(maxShingleDf > 0 || allowUncapped,
+      "uncapped jaccardPairs is pair-quadratic in hot shingles; pass " +
+        "maxShingleDf > 0 (exactness-preserving candidate cap) or opt in " +
+        "with allowUncapped = true on a corpus known to be small")
     val sh = shingles(docs).cache()
     if (maxShingleDf > 0) {
       val cold = sh.join(
@@ -101,6 +109,32 @@ object Dedup {
       .withColumn("jaccard_permille", expr("(common * 1000) div (na + nb - common)"))
       .where(col("jaccard_permille") >= thresholdPermille)
       .select("da", "db", "jaccard_permille").orderBy("da", "db")
+  }
+
+  /** Cap-calibration probe for the df-capped [[jaccardPairs]]: over all
+    * pairs whose TRUE Jaccard >= threshold, the largest "min shared-shingle
+    * df" — i.e. the smallest cap that still generates every qualifying pair
+    * as a candidate. None when no pair qualifies. Quadratic (it runs the
+    * uncapped shape) — a harness/self-check tool, never a production path:
+    * the verify harness uses it to fail with a distinct "cap miscalibrated"
+    * message instead of a generic parity mismatch when a regenerated corpus
+    * silently outgrows the oracle's cap.
+    */
+  def requiredShingleDfCap(docs: DataFrame, thresholdPermille: Int): Option[Long] = {
+    val sh = shingles(docs).cache()
+    try {
+      val sdf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+      val qual = jaccardPairs(docs, thresholdPermille, allowUncapped = true)
+        .select("da", "db")
+      val worst = qual
+        .join(sh.withColumnRenamed("doc_id", "da"), "da")
+        .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("s", "s2"), "db")
+        .where(col("s") === col("s2"))
+        .join(sdf, "s")
+        .groupBy("da", "db").agg(min(col("sdf")).as("min_df"))
+        .agg(max(col("min_df")).as("cap")).collect()
+      worst.headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+    } finally sh.unpersist()
   }
 
   /** Benchmark decontamination: flag (corpus doc, benchmark doc) pairs that

@@ -170,11 +170,14 @@ object Similarity {
     require(seeds.nonEmpty, "no candidate vectors to seed centroids from")
     val dim = seeds.head._2.length
     val k = seeds.length
+    // persist across Lloyd rounds: each iteration's kernel scans the full
+    // candidate set, so without this the corpus re-projects `iters` times
     val cands = emb.where(col("vec_id") >= nQueries)
       .select(expr("transform(embedding, x -> CAST(x AS double))").as("e"))
       .as[Array[Double]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = seeds.map(_._2)
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val cs = cents
       val scale = KMeansScale
       val partials = cands.mapPartitions { it =>
@@ -218,7 +221,7 @@ object Similarity {
         if (n == 0) cs(ci)
         else s.map(v => v.toDouble / scale / n)
       }
-    }
+    } finally cands.unpersist()
     spark.createDataFrame(seeds.map(_._1).zip(cents).toIndexedSeq)
       .toDF("cid", "cemb")
   }

@@ -68,20 +68,54 @@ object TextOps {
       .select(col("line"), col("n_docs"))
       .orderBy("line")
 
-  /** [[boilerplateLines]] applied: documents with their boilerplate lines
-    * removed (empty lines preserved as document structure). The boilerplate
-    * set is data-dependent but SMALL (it is the high-df tail), so it
-    * broadcasts into a map-side array-filter — the corpus is rewritten in
-    * one pass with no shuffle.
+  /** Gate for [[stripBoilerplate]]'s inline path: a boilerplate set at or
+    * below this many lines is collected once (bounded probe) and applied as
+    * a map-side in-row filter. The set is data-dependent — at web scale with
+    * a low `minDocs` the ≥N-docs line set is effectively unbounded (every
+    * common sentence on the web) — so it must never be collected or
+    * broadcast ungated.
     */
-  def stripBoilerplate(docs: DataFrame, minDocs: Int): DataFrame = {
+  final val MaxInlineBoilerplate = 4096
+
+  /** [[boilerplateLines]] applied: documents with their boilerplate lines
+    * removed (empty lines preserved as document structure).
+    *
+    * Size-gated two-shape plan (the tombstone / searchFresh pattern):
+    * at/below `maxInlineLines` boilerplate lines, the set rides into a
+    * map-side in-row filter — the corpus is rewritten in one pass, no
+    * shuffle. Above the gate the set stays distributed: doc lines explode
+    * as narrow (doc_id, md5(line)) rows — 16-byte digests, raw text never
+    * a join key — meet the boilerplate digests, and matches collapse back
+    * to one bounded per-doc removal set; the corpus text shuffles exactly
+    * once, through the final SHUFFLE_HASH probe. Both shapes agree
+    * line-for-line (digest equality stands in for line equality; an md5
+    * collision between a kept and a boilerplate line is negligible).
+    */
+  def stripBoilerplate(docs: DataFrame, minDocs: Int,
+                       maxInlineLines: Int = MaxInlineBoilerplate): DataFrame = {
     val bp = boilerplateLines(docs, minDocs).select(col("line"))
-      .agg(collect_set(col("line")).as("bp"))
-    docs.crossJoin(broadcast(bp))
-      .select(col("doc_id"),
-        array_join(filter(split(col("text"), "\n"),
-          l => !array_contains(col("bp"), l)), "\n").as("text"))
-      .orderBy("doc_id")
+    val probe = bp.limit(maxInlineLines + 1).collect().map(_.getString(0))
+    val stripped =
+      if (probe.length <= maxInlineLines)
+        docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), "\n"),
+            l => !array_contains(typedlit(probe.toSeq), l)), "\n").as("text"))
+      else {
+        val bpH = bp.select(md5(col("line")).as("h"))
+        val rm = docs.select(col("doc_id"),
+            explode(array_distinct(transform(
+              filter(split(col("text"), "\n"), l => l =!= ""),
+              l => md5(l)))).as("h"))
+          .join(bpH, Seq("h"))
+          .groupBy("doc_id").agg(collect_set(col("h")).as("rm"))
+        docs.join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            array_join(filter(split(col("text"), "\n"),
+              l => !array_contains(
+                coalesce(col("rm"), typedlit(Seq.empty[String])), md5(l))),
+              "\n").as("text"))
+      }
+    stripped.orderBy("doc_id")
   }
 
   /** Gopher-style repetition quality signals, integer-exact permille:

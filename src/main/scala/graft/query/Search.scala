@@ -517,10 +517,16 @@ class Search(spark: SparkSession, dir: String,
       bad.unpersist()
       if (probe.isEmpty) hits
       else hits.where(!$"url".isInCollection(probe.toSeq))
-    } else
-      // above the gate the cached frame stays live for the lazy consumer
-      // (evicted LRU; bounded: one row per bad url)
-      hits.join(bad.select("url"), Seq("url"), "left_anti")
+    } else {
+      // above the gate, materialize the (bounded: one row per bad url) set
+      // to a session-temp parquet and unpersist — a long-lived session
+      // running many above-gate calls must not pin cached blocks until LRU
+      // pressure evicts them; the lazy consumer re-reads a tiny file instead
+      val tmp = java.nio.file.Files.createTempDirectory("graft_badurls_")
+      bad.select("url").write.mode("overwrite").parquet(tmp.toString)
+      bad.unpersist()
+      hits.join(spark.read.parquet(tmp.toString), Seq("url"), "left_anti")
+    }
   }
 
   /** File-cover search (reference -file mode, intersectFileGrams

@@ -38,7 +38,8 @@ object StreamingIndex {
   }
 
   /** Event-time ingestion monitoring: per (event-time window, lang) page
-    * and byte counts over the crawl stream — watermarked so state is
+    * and character counts (`length(text)` counts characters, not octets;
+    * multibyte text lands below its wire size) — watermarked so state is
     * bounded and windows close (append-mode capable). The streaming analog
     * of the `info` view, for watching a 100 TB crawl land: partial
     * aggregation happens map-side per micro-batch; only per-window partials
@@ -61,6 +62,10 @@ object StreamingIndex {
     * State per url is ONE timestamp; event-time timeout expires idle urls
     * at the watermark so state stays bounded by the active-url set, not
     * crawl history.
+    *
+    * Schema note: the output is narrowed to (url, warc_ts, text, lang) —
+    * extra input columns (e.g. html) do not pass through; [[upsertBatch]]
+    * consumes exactly this narrowed shape, so the two compose directly.
     */
   def dedupVersions(docsStream: DataFrame, latenessMs: Long = 3600000L)
       : Dataset[(String, java.sql.Timestamp, String, String)] = {

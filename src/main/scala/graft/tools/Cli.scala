@@ -69,6 +69,9 @@ object Cli {
   private def doubleArg(s: String, what: String): Double =
     try s.toDouble catch { case _: NumberFormatException =>
       System.err.println(s"$what must be a number: $s"); exit(1) }
+  private def longArg(s: String, what: String): Long =
+    try s.toLong catch { case _: NumberFormatException =>
+      System.err.println(s"$what must be an integer: $s"); exit(1) }
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -228,10 +231,13 @@ object Cli {
     case "index" :: dir :: rest =>
       val spark = session()
       val docs = rest match {
-        case "--synth" :: n :: _ => WebCorpus.generate(spark, n.toLong)
+        case "--synth" :: n :: _ => WebCorpus.generate(spark, longArg(n, "--synth"))
         case "--parquet" :: p :: _ => spark.read.parquet(p)
         case "--readme" :: _ => WebCorpus.readmeCorpus(spark)
-        case _ => sys.error("index needs --synth N | --parquet PATH | --readme")
+        case _ =>
+          // usage error through the exit-code contract, never a stack trace
+          System.err.println("index needs --synth N | --parquet PATH | --readme")
+          exit(1)
       }
       def intOpt(flag: String, dflt: Int): Int =
         rest.sliding(2).collectFirst { case `flag` :: v :: Nil => intArg(v, flag) }
@@ -339,7 +345,7 @@ object Cli {
     case "update" :: dir :: "--synth" :: n :: Nil =>
       val spark = session()
       val (nn, nc, nd) = graft.maint.Maintenance.update(spark, dir,
-        WebCorpus.generate(spark, n.toLong), cfgFor(dir))
+        WebCorpus.generate(spark, longArg(n, "--synth")), cfgFor(dir))
       println(s"update: new=$nn changed=$nc deleted=$nd")
     case "update" :: dir :: "--parquet" :: p :: Nil =>
       val spark = session()
@@ -391,7 +397,7 @@ object Cli {
     case "update-plan" :: dir :: "--synth" :: n :: Nil =>
       val spark = session()
       show(graft.maint.Maintenance.updatePlan(spark, dir,
-        WebCorpus.generate(spark, n.toLong), IndexBuild.Config()))
+        WebCorpus.generate(spark, longArg(n, "--synth")), IndexBuild.Config()))
     case "merge-segments" :: dir :: Nil =>
       val s = session()
       val n = graft.maint.Maintenance.mergeSegments(s, dir, gramsTable = false) +

@@ -23,7 +23,10 @@ object Profile {
     // pipeline's cost on a live index (candidates kernel vs hydration join
     // vs verify vs final order) — each step includes the previous ones
     if (sys.env.get("PROFILE_MODE").contains("search")) {
-      val dir = sys.env("PROFILE_IDX")
+      val dir = sys.env.getOrElse("PROFILE_IDX", {
+        System.err.println("PROFILE_MODE=search needs PROFILE_IDX=<index dir>")
+        sys.exit(1)
+      })
       val terms = sys.env.getOrElse("PROFILE_TERMS", "word,one").split(",").toSeq
       // gate 0 forces the SHUFFLE_HASH hydration path in search() too, so
       // every profiled step (including "full search") measures the SAME

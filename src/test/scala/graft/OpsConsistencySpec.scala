@@ -48,7 +48,7 @@ class OpsConsistencySpec extends SparkSuite {
       s"red green blue cyan magenta yellow $boiler",
       s"lorem ipsum dolor sit amet consectetur $boiler")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val uncapped = graft.ops.Dedup.jaccardPairs(docs, 400)
+    val uncapped = graft.ops.Dedup.jaccardPairs(docs, 400, allowUncapped = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(uncapped.nonEmpty)
     for (cap <- Seq(2L, 4L)) {
@@ -60,6 +60,26 @@ class OpsConsistencySpec extends SparkSuite {
     // candidates — the cap bounds recall, never the emitted rows' values
     assert(graft.ops.Dedup.jaccardPairs(docs, 400, maxShingleDf = 1L)
       .collect().isEmpty)
+  }
+
+  test("jaccardPairs is safe by default: uncapped requires an explicit opt-in") {
+    val docs = Seq((0L, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.jaccardPairs(docs, 400)
+    }
+    // capped and explicitly-uncapped forms both run
+    assert(graft.ops.Dedup.jaccardPairs(docs, 400, maxShingleDf = 8).count() == 1)
+    assert(graft.ops.Dedup.jaccardPairs(docs, 400, allowUncapped = true).count() == 1)
+  }
+
+  test("exactDupGroups finds full-text duplicate groups (nonzero rows)") {
+    val docs = Seq(
+      (0L, "the same text"), (5L, "the same text"), (9L, "the same text"),
+      (2L, "another dup"), (3L, "another dup"),
+      (7L, "unique one"), (8L, "")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.exactDupGroups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((0L, 3L), (2L, 2L)))
   }
 
   test("doc length stats agree") {

@@ -195,6 +195,31 @@ class PlanSpec extends SparkSuite {
     assert(!sub.contains("neighbor_id"), s"corpus side under the broadcast:\n$sub")
   }
 
+  test("stripBoilerplate is map-side below the gate, joins above it, same rows") {
+    import spark.implicits._
+    // every doc shares two boilerplate lines; empty lines must survive
+    val docs = (0L until 40L).map(i =>
+      (i, s"unique body $i\n\nshared footer line\nother shared line"))
+      .toDF("doc_id", "text")
+    val below = graft.ops.TextOps.stripBoilerplate(docs, minDocs = 3)
+    val above = graft.ops.TextOps.stripBoilerplate(docs, minDocs = 3,
+      maxInlineLines = 1)
+    val want = (0L until 40L).map(i => (i, s"unique body $i\n")).toList
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(rows(below) == want)
+    assert(rows(above) == want) // the two shapes agree line-for-line
+    // below the gate: a pure projection — no join anywhere in the plan
+    val pBelow = plan(below)
+    assert(!pBelow.toLowerCase.contains("join"),
+      s"inline path grew a join:\n${pBelow.take(600)}")
+    // above the gate: the removal set joins back through the hinted
+    // SHUFFLE_HASH probe — never a driver collect of the line set
+    val pAbove = plan(above)
+    assert(pAbove.contains("ShuffledHashJoin"),
+      s"above-gate path lost the distributed join:\n${pAbove.take(800)}")
+  }
+
   test("global fuzzy rank runs distributed (no single-partition window)") {
     val df = search.fuzzySearch(Seq("the"), 0.3, sortGlobal = true)
     val p = df.queryExecution.executedPlan.toString
