@@ -39,7 +39,11 @@ import graft.sources.WebCorpus
   *   Cli update-plan INDEXDIR --synth N    (update -t dry run)
   *   Cli merge-segments INDEXDIR           (splice incremental appends)
   *   Cli info INDEXDIR
-  *   Cli info-groups INDEXDIR              (per-group totals + validity)
+  *   Cli info-groups INDEXDIR [--ref [--docs PATH]]
+  *                    (per-group totals + validity; --ref prints the
+  *                    reference printGroupInfo lines NAME[ org-mode]
+  *                    [ DELETED| CHANGED] that org-fts.el:187 parses,
+  *                    with --docs supplying the currency check)
   *   Cli info-chunks INDEXDIR URL
   *   Cli grams-info INDEXDIR               (selectivity histogram)
   *   Cli gram-coverage INDEXDIR            (15-threshold CDF + sizes)
@@ -405,8 +409,50 @@ object Cli {
       println(s"rewrote $n bucket(s)")
     case "info" :: dir :: Nil =>
       show(new Search(session(), dir).info())
-    case "info-groups" :: dir :: Nil =>
-      show(new Search(session(), dir).infoGroups())
+    case "info-groups" :: dir :: rest =>
+      import org.apache.spark.sql.functions.{col, lit, max, when}
+      val spark = session()
+      val eng = new Search(spark, dir)
+      if (!rest.contains("--ref")) show(eng.infoGroups())
+      else {
+        // reference printGroupInfo rendering (fts-lmdb.go:430-446), the
+        // exact shape org-fts-find-org-file strips with
+        // " *\(org-mode\)?\( DELETED\| NOT AVAILABLE\| CHANGED\)?$"
+        // (elisp/org-fts.el:187): NAME[ org-mode][ DELETED| CHANGED], one
+        // line per group in name order (groupNameDb cursor order).
+        // ` org-mode` when the index chunks by org elements (per-index here
+        // vs the reference's per-group flag). --docs PATH supplies the
+        // currency check standing in for os.Stat: url absent from the
+        // current table -> DELETED (IsNotExist), current strictly newer
+        // than the indexed version -> CHANGED (ModTime().After);
+        // ` NOT AVAILABLE` (a stat error that is not IsNotExist) has no
+        // analog over a parquet snapshot and is never printed. Tombstoned
+        // groups print unmarked when present (their live timestamp left
+        // with their chunks) — divergence only for tombstoned+modified.
+        // Fully distributed derivation; the driver only streams the lines
+        // out (the command's output IS the full listing, as in the
+        // reference's cursor walk), so no url set is ever broadcast.
+        val docsPath = rest.sliding(2).collectFirst { case "--docs" :: p :: Nil => p }
+        val orgTag =
+          if (IndexBuild.readDocStats(dir).chunkMode == IndexBuild.ChunkMode.Org)
+            " org-mode"
+          else ""
+        val g = eng.infoGroups()
+        val marked = docsPath match {
+          case Some(p) =>
+            val curTs = spark.read.parquet(p).groupBy(col("url"))
+              .agg(max(col("warc_ts")).as("cur_ts"))
+            g.join(curTs, Seq("url"), "left")
+              .select(col("url"),
+                when(col("cur_ts").isNull, " DELETED")
+                  .when(col("cur_ts") > col("last_changed"), " CHANGED")
+                  .otherwise("").as("marker"))
+          case None => g.select(col("url"), lit("").as("marker"))
+        }
+        marked.orderBy("url").toLocalIterator().forEachRemaining { r =>
+          println(r.getString(0) + orgTag + r.getString(1))
+        }
+      }
     case "info-chunks" :: dir :: url :: Nil =>
       show(new Search(session(), dir).infoChunks(url))
     case "grams-info" :: dir :: Nil =>

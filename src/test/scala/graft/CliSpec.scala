@@ -153,6 +153,36 @@ class CliSpec extends SparkSuite {
     assert(Cli.run(Array("search", d3, "shared", "--docs", curB)) == 2)
   }
 
+  test("info-groups --ref prints printGroupInfo lines org-fts.el can parse") {
+    // fresh snapshot -> bare name; stale -> CHANGED; absent -> DELETED
+    // (printGroupInfo fts-lmdb.go:430-446)
+    val fresh = currentDocs(new java.sql.Timestamp(1600000000000L).toString)
+    val stale = currentDocs("2021-05-05 00:00:00")
+    val empty = tmpDir("cli-docs") + "/ref-empty"
+    Seq.empty[(String, java.sql.Timestamp)].toDF("url", "warc_ts")
+      .write.parquet(empty)
+    def refOut(extra: String*): String =
+      captureOut(assert(
+        Cli.run(Array("info-groups", dir, "--ref") ++ extra) == 0))
+    assert(refOut() == s"$url\n")
+    assert(refOut("--docs", fresh) == s"$url\n")
+    assert(refOut("--docs", stale) == s"$url CHANGED\n")
+    assert(refOut("--docs", empty) == s"$url DELETED\n")
+    // an org-chunked index carries the org-mode marker
+    val orgDir = tmpDir("cli-org")
+    assert(Cli.run(Array("index", orgDir, "--readme", "--org", "--buckets",
+      "4", "--ranges", "2", "--docparts", "2")) == 0)
+    val orgOut = captureOut(assert(
+      Cli.run(Array("info-groups", orgDir, "--ref")) == 0))
+    assert(orgOut == s"$url org-mode\n")
+    // the elisp strip-regex (org-fts.el:187) must reduce every line to the
+    // bare group name
+    val strip = " *(org-mode)?( DELETED| NOT AVAILABLE| CHANGED)?$".r
+    for (o <- Seq(refOut("--docs", stale), refOut("--docs", empty), orgOut);
+         line <- o.split("\n"))
+      assert(strip.replaceAllIn(line, "") == url, s"line='$line'")
+  }
+
   test("search -u runs the incremental update before searching") {
     val d2 = tmpDir("cli-upd")
     assert(Cli.run(Array("index", d2, "--readme", "--buckets", "4",
