@@ -284,6 +284,13 @@ object SparkEntry {
     // ---- IVF ANN: probe nearest coarse clusters, exact re-rank inside
     "q37_ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(embTable(s, d), nQueries = 3, k = 5, nProbe = 3)),
+    // ---- IVF ANN over Lloyd-TRAINED coarse centroids: the fixed-point
+    // long-accumulation kernel is bit-reproducible, so the oracle unrolls
+    // the same k-means in SQL (assignment argmax + floor(v*2^24+0.5) sums
+    // + s/2^24/n means) — no centroid literals, works at every SF
+    "q48_ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTopK(embTable(s, d), nQueries = 3, k = 5, nProbe = 3,
+        trainIters = 2)),
     // ---- multimodal decode plumbing: binary payloads -> batched decode;
     // the engine PARSES the binary headers, the oracle re-derives the same
     // values analytically from the generator formula — an end-to-end
@@ -760,16 +767,79 @@ object SparkEntry {
               ORDER BY cos_permille DESC, neighbor_id) AS rn FROM scored)
           WHERE rn <= $topK ORDER BY query_id, rn"""
     },
-    // engine parses these from the 16-byte binary header it decodes; the
-    // oracle re-derives them from the generator's closed form (StubCodec
-    // body = min(w*h, 4096) bytes after the header)
+    "q48_ann_ivf_trained" -> {
+      val (nq, stride, kC, nProbe, topK) = (3, Similarity.IvfStride, Similarity.IvfK, 3, 5)
+      val (iters, dim, scale) = (2, 64, Similarity.KMeansScale)
+      // one Lloyd round, unrolled: assignment argmax over the previous
+      // centroids (same cosine fold + tie-break as the kernel), then the
+      // fixed-point mean — floor(e*2^24 + 0.5) summed exactly as BIGINTs
+      // (cast: DuckDB sum() yields HUGEINT) and divided s/2^24/n in the
+      // kernel's operation order; empty clusters keep the previous centroid
+      def lloydIter(it: Int): String = {
+        val prev = s"c${it - 1}"
+        s"""a$it AS (SELECT vec_id, e, cid FROM (
+              SELECT c.vec_id, c.e, ct.cid,
+                     row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY ${cosSqlRaw("c.e", "ct.cemb")} DESC, ct.cid) AS rn
+              FROM cand c, $prev ct) WHERE rn = 1),
+            s$it AS (SELECT cid, u.d AS d,
+                     CAST(sum(CAST(floor(e[u.d] * ${scale}.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                     count(*) AS n
+                     FROM a$it, unnest(range(1, ${dim + 1})) u(d) GROUP BY 1, 2),
+            m$it AS (SELECT cid, list(s / ${scale}.0 / n ORDER BY d) AS cemb
+                     FROM s$it GROUP BY cid),
+            c$it AS (SELECT p.cid, coalesce(m$it.cemb, p.cemb) AS cemb
+                     FROM $prev p LEFT JOIN m$it USING (cid))"""
+      }
+      s"""WITH cand AS (SELECT vec_id, embedding,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                        FROM embeddings WHERE vec_id >= $nq),
+          c0 AS (SELECT vec_id AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+                 FROM embeddings WHERE vec_id >= $nq AND (vec_id - $nq) % $stride = 0
+                 ORDER BY vec_id LIMIT $kC),
+          ${(1 to iters).map(lloydIter).mkString(",\n          ")},
+          assign AS (SELECT vec_id, cid AS cluster FROM (
+            SELECT c.vec_id, ct.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY ${cosSqlRaw("c.embedding", "ct.cemb")} DESC, ct.cid) AS rn
+            FROM cand c, c$iters ct) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+          probes AS (SELECT query_id, cid AS cluster FROM (
+            SELECT q.query_id, ct.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSqlRaw("q.qe", "ct.cemb")} DESC, ct.cid) AS rn
+            FROM q, c$iters ct) WHERE rn <= $nProbe),
+          lists AS (SELECT a.cluster, a.vec_id AS neighbor_id, e.embedding AS ne
+                    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+          scored AS (SELECT p.query_id, l.neighbor_id,
+                     CAST(floor(${cosSqlRaw("q.qe", "l.ne")} * 1000) AS BIGINT) AS cos_permille
+                     FROM probes p JOIN lists l USING (cluster) JOIN q USING (query_id))
+          SELECT query_id, neighbor_id, cos_permille, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_permille DESC, neighbor_id) AS rn FROM scored)
+          WHERE rn <= $topK ORDER BY query_id, rn"""
+    },
+    // the engine PARSES real BMP / WAV / Y4M containers (Multimodal.
+    // MediaCodec); the oracle re-derives every parsed fact from the
+    // formats' closed forms: BMP = 54 + h*rowSize (rows 4-byte padded),
+    // WAV = 44 + 2*samples with width=samples height=channels, Y4M =
+    // header(37+digits) + frames*(6 + w*h*3/2) — an encode->decode
+    // roundtrip check over the container layouts themselves
     "q38_multimodal_features" ->
       """SELECT i AS media_id,
            CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           32 + (i % 7) * 16 AS width,
-           32 + (i % 5) * 16 AS height,
+           CASE i % 3 WHEN 1 THEN (32 + (i % 7) * 16) * (32 + (i % 5) * 16)
+                      ELSE 32 + (i % 7) * 16 END AS width,
+           CASE i % 3 WHEN 1 THEN 1 ELSE 32 + (i % 5) * 16 END AS height,
            CASE WHEN i % 3 = 2 THEN 8 + i % 4 ELSE 1 END AS n_frames,
-           16 + least((32 + (i % 7) * 16) * (32 + (i % 5) * 16), 4096) AS bytes_len
+           CASE i % 3
+             WHEN 0 THEN 54 + (32 + (i % 5) * 16) * (((32 + (i % 7) * 16) * 3 + 3) // 4 * 4)
+             WHEN 1 THEN 44 + 2 * (32 + (i % 7) * 16) * (32 + (i % 5) * 16)
+             ELSE 37 + length(CAST(32 + (i % 7) * 16 AS VARCHAR))
+                     + length(CAST(32 + (i % 5) * 16 AS VARCHAR))
+                     + (8 + i % 4) * (6 + (32 + (i % 7) * 16) * (32 + (i % 5) * 16) * 3 // 2)
+           END AS bytes_len
          FROM range(0, 2000) t(i) ORDER BY media_id""",
     "q39_frame_plan" ->
       """SELECT i AS media_id, f AS frame_idx

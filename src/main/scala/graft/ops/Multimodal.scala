@@ -5,51 +5,183 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video travel as opaque `binary` columns with typed metadata; decode /
-  * feature-extract / resize / frame-sample run as batched per-partition
-  * kernels (the JVM-side equivalent of `mapInPandas` batches — in PySpark
-  * these same schemas/partitioning drive Pandas UDFs).
+  * feature-extract / frame-sample run as batched per-partition kernels
+  * (the JVM-side equivalent of `mapInPandas` batches — in PySpark these
+  * same schemas/partitioning drive Pandas UDFs).
   *
-  * The codec step is STUBBED (no image/audio libraries in this container):
-  * [[StubCodec]] is a deterministic fake that parses our own synthetic
-  * header. Everything around it — schema, batch iteration, partition
-  * sizing, output shapes — is real and tested, so swapping in a real
-  * decoder is a one-function change.
+  * The codecs are REAL pure-JVM parsers for three public UNCOMPRESSED
+  * container formats, so the decode step needs no media libraries:
+  *   - image: BMP, 24bpp BITMAPFILEHEADER + BITMAPINFOHEADER
+  *   - audio: WAV, RIFF/WAVE PCM 16-bit mono (proper chunk walk)
+  *   - video: Y4M (YUV4MPEG2), C420jpeg planar frames
+  * [[MediaCodec.decode]] dispatches on the container MAGIC, never on
+  * trusted metadata columns, and every reported fact (width, height,
+  * channels, frame count) is parsed from the bytes. Compressed codecs
+  * (JPEG/FLAC/H.264) would slot into the same decode() seam — that is the
+  * one remaining library-bound substitution.
   */
 object Multimodal {
 
+  /** Generator-side row: width/height/n_frames are the SYNTHESIS
+    * parameters (for audio they are the sample-grid factors — the encoded
+    * clip has width*height samples).
+    */
   final case class MediaRow(media_id: Long, kind: String, width: Int,
                             height: Int, n_frames: Int, payload: Array[Byte])
 
+  /** Decode-side row: every field is parsed from the payload bytes. For
+    * audio, width = sample count and height = channel count (the facts a
+    * WAV header actually carries).
+    */
   final case class MediaFeatures(media_id: Long, kind: String, width: Int,
                                  height: Int, n_frames: Int, bytes_len: Int,
                                  mean_byte: Double, feature: Array[Float])
 
-  /** Deterministic fake codec: payload = 16-byte header
-    * (width, height, n_frames, seed as 4-byte BE ints) + body bytes.
-    * A real build replaces decode() with an actual library call.
-    */
-  object StubCodec {
-    def encode(width: Int, height: Int, nFrames: Int, seed: Int): Array[Byte] = {
-      val body = new Array[Byte](math.min(width * height, 4096))
-      var i = 0
+  /** Pure-JVM encoders/decoders for BMP / WAV / Y4M. */
+  object MediaCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    final case class Decoded(kind: String, width: Int, height: Int,
+                             nFrames: Int, body: Array[Byte])
+
+    /** Deterministic pixel/sample filler (the stand-in for real content). */
+    private def lcgFill(n: Int, seed: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
       var s = seed
-      while (i < body.length) { s = s * 1103515245 + 12345; body(i) = (s >>> 16).toByte; i += 1 }
-      val out = java.nio.ByteBuffer.allocate(16 + body.length)
-      out.putInt(width).putInt(height).putInt(nFrames).putInt(seed).put(body)
+      var i = 0
+      while (i < n) { s = s * 1103515245 + 12345; b(i) = (s >>> 16).toByte; i += 1 }
+      b
+    }
+
+    private def ascii(p: Array[Byte], off: Int, len: Int): String =
+      new String(p, off, len, "US-ASCII")
+
+    /** 24bpp bottom-up BMP; rows padded to 4 bytes (file = 54 + h*rowSize). */
+    def encodeBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val dataSize = rowSize * h
+      val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      bb.put(lcgFill(dataSize, seed))
+      bb.array()
+    }
+
+    /** RIFF/WAVE PCM, 16-bit mono, 8 kHz (file = 44 + 2*nSamples). */
+    def encodeWav(nSamples: Int, seed: Int): Array[Byte] = {
+      val dataSize = nSamples * 2
+      val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      bb.put(lcgFill(dataSize, seed))
+      bb.array()
+    }
+
+    /** YUV4MPEG2, C420jpeg planar (frame body = w*h*3/2; w,h even).
+      * file = header + frames * (6 + frameSize).
+      */
+    def encodeY4m(w: Int, h: Int, frames: Int, seed: Int): Array[Byte] = {
+      require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+      val frameSize = w * h * 3 / 2
+      val out = ByteBuffer.allocate(header.length + frames * (6 + frameSize))
+      out.put(header)
+      var f = 0
+      while (f < frames) {
+        out.put("FRAME\n".getBytes("US-ASCII"))
+        out.put(lcgFill(frameSize, seed + f))
+        f += 1
+      }
       out.array()
     }
 
-    /** "Decode": returns (width, height, nFrames, body). ??? -> real lib. */
-    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
-      val bb = java.nio.ByteBuffer.wrap(payload)
-      val (w, h, f, _) = (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
-      val body = new Array[Byte](payload.length - 16)
-      bb.get(body)
-      (w, h, f, body)
+    /** Parse by container magic; all metadata comes from the bytes. */
+    def decode(payload: Array[Byte]): Decoded = {
+      def magic(s: String) = payload.length >= s.length &&
+        s.indices.forall(i => payload(i) == s.charAt(i).toByte)
+      if (magic("BM")) decodeBmp(payload)
+      else if (magic("RIFF")) decodeWav(payload)
+      else if (magic("YUV4MPEG2")) decodeY4m(payload)
+      else throw new IllegalArgumentException("unknown media container magic")
+    }
+
+    private def decodeBmp(p: Array[Byte]): Decoded = {
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      val off = bb.getInt(10)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22) // negative would mean top-down; abs for extent
+      val bpp = bb.getShort(28) & 0xFFFF
+      require(bpp == 24, s"unsupported BMP bpp: $bpp")
+      Decoded("image", w, math.abs(h), 1,
+        java.util.Arrays.copyOfRange(p, off, p.length))
+    }
+
+    private def decodeWav(p: Array[Byte]): Decoded = {
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      require(ascii(p, 8, 4) == "WAVE", "RIFF but not WAVE")
+      var off = 12
+      var channels = 0
+      var blockAlign = 0
+      var body: Array[Byte] = null
+      while (off + 8 <= p.length) {
+        val id = ascii(p, off, 4)
+        val size = bb.getInt(off + 4)
+        if (id == "fmt ") {
+          channels = bb.getShort(off + 10) & 0xFFFF
+          blockAlign = bb.getShort(off + 20) & 0xFFFF
+        } else if (id == "data")
+          body = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + size)
+        off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      }
+      require(body != null && blockAlign > 0, "WAV missing fmt/data chunk")
+      Decoded("audio", body.length / blockAlign, channels, 1, body)
+    }
+
+    private def decodeY4m(p: Array[Byte]): Decoded = {
+      val nl = p.indexOf('\n'.toByte)
+      require(nl > 0, "Y4M missing stream header")
+      val toks = ascii(p, 0, nl).split(" ")
+      var w = 0
+      var h = 0
+      var chroma = "420jpeg" // the Y4M default when no C tag is present
+      toks.tail.foreach { t =>
+        if (t.nonEmpty) t.head match {
+          case 'W' => w = t.tail.toInt
+          case 'H' => h = t.tail.toInt
+          case 'C' => chroma = t.tail
+          case _ => ()
+        }
+      }
+      val frameSize = chroma match {
+        case c if c.startsWith("420") => w * h * 3 / 2
+        case c if c.startsWith("422") => w * h * 2
+        case c if c.startsWith("444") => w * h * 3
+        case "mono" => w * h
+        case c => throw new IllegalArgumentException(s"unsupported Y4M chroma: $c")
+      }
+      val body = new java.io.ByteArrayOutputStream()
+      var off = nl + 1
+      var frames = 0
+      while (off < p.length) {
+        require(ascii(p, off, math.min(5, p.length - off)) == "FRAME",
+          "bad Y4M frame marker")
+        val fnl = p.indexOf('\n'.toByte, off)
+        require(fnl > 0 && fnl + 1 + frameSize <= p.length, "truncated Y4M frame")
+        body.write(p, fnl + 1, frameSize)
+        off = fnl + 1 + frameSize
+        frames += 1
+      }
+      Decoded("video", w, h, frames, body.toByteArray)
     }
   }
 
-  /** Deterministic synthetic media table. */
+  /** Deterministic synthetic media table: real BMP / WAV / Y4M payloads. */
   def generate(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
@@ -58,31 +190,41 @@ object Multimodal {
       val w = 32 + (i % 7).toInt * 16
       val h = 32 + (i % 5).toInt * 16
       val fr = if (kind == "video") 8 + (i % 4).toInt else 1
-      MediaRow(i, kind, w, h, fr, StubCodec.encode(w, h, fr, i.toInt))
+      val payload = kind match {
+        case "image" => MediaCodec.encodeBmp(w, h, i.toInt)
+        case "audio" => MediaCodec.encodeWav(w * h, i.toInt)
+        case _       => MediaCodec.encodeY4m(w, h, fr, i.toInt)
+      }
+      MediaRow(i, kind, w, h, fr, payload)
     }
   }
 
   /** Batched decode + feature extraction: one partition = one batch stream;
-    * the 8-dim feature is a byte-histogram sketch of the decoded body
+    * every output field is parsed from the container bytes, and the 8-dim
+    * feature is a byte-histogram sketch of the decoded pixel/sample body
     * (stands in for an embedding model forward pass).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f, body) = StubCodec.decode(r.payload)
+        val d = MediaCodec.decode(r.payload)
         val hist = new Array[Float](8)
         var sum = 0L
         var i = 0
-        while (i < body.length) {
-          val b = body(i) & 0xFF
+        while (i < d.body.length) {
+          val b = d.body(i) & 0xFF
           hist(b >> 5) += 1f
           sum += b
           i += 1
         }
-        if (body.length > 0) { var j = 0; while (j < 8) { hist(j) /= body.length; j += 1 } }
-        MediaFeatures(r.media_id, r.kind, w, h, f, r.payload.length,
-          if (body.length == 0) 0.0 else sum.toDouble / body.length, hist)
+        if (d.body.length > 0) {
+          var j = 0
+          while (j < 8) { hist(j) /= d.body.length; j += 1 }
+        }
+        MediaFeatures(r.media_id, d.kind, d.width, d.height, d.nFrames,
+          r.payload.length,
+          if (d.body.length == 0) 0.0 else sum.toDouble / d.body.length, hist)
       }
     }
   }

@@ -204,7 +204,10 @@ object Similarity {
           counts(best) += 1
           d = 0
           while (d < dim) {
-            sums(best)(d) += math.round(e(d) * scale)
+            // floor(v + 0.5) spelled out, NOT Math.round: since JDK 7 the
+            // two differ on half-ulp-below-.5 edges (JDK-6430675), and a
+            // SQL oracle can reproduce floor(v + 0.5) bit-for-bit
+            sums(best)(d) += math.floor(e(d) * scale + 0.5).toLong
             d += 1
           }
         }
@@ -255,9 +258,9 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int,
               /** Lloyd rounds for the coarse quantizer; 0 = raw strided
-                * seed medoids (the oracle-checked default — the trained
-                * path is deterministic too, but its oracle would need
-                * k-means in SQL) */
+                * seed medoids. Both paths are deterministic and
+                * oracle-checked (q37 medoids, q48 trained — the fixed-point
+                * kernel unrolls into SQL k-means verbatim) */
               trainIters: Int = 0): DataFrame = {
     val cents =
       if (trainIters > 0) ivfTrainedCentroids(emb, nQueries, trainIters)

@@ -110,27 +110,40 @@ object GoFormat {
         var j = i + 1
         var explicitIdx = false
         val prevArgIdx = argIdx
-        // Go's fmt tries argNumber after the flags/width/precision scan AND
-        // again before the verb, so both `%4.1[4]f` (fuzzyLineFormat,
-        // fts-lmdb.go:58) and `%[2]5d` are valid — scan spec chars on both
-        // sides of an optional [N] and concatenate
-        def scanSpec(): String = {
-          val s = j
-          while (j < fmt.length &&
-                 (fmt.charAt(j).isDigit || "+- #0.".contains(fmt.charAt(j)))) j += 1
-          fmt.substring(s, j)
+        // Go's doPrintf scan order (fmt/print.go): flags, [N], width, '.',
+        // [N], precision, [N], verb. The strict order (vs a symmetric
+        // two-sided scan) accepts `%[2]5d` and `%4.1[4]f` (fuzzyLineFormat,
+        // fts-lmdb.go:58) while making malformed forms like `%4[2].1f`
+        // fall out as bad-verb markers the way Go renders them — Go stops
+        // at the '.' after a post-width index and treats it as the verb.
+        val flagStart = j
+        while (j < fmt.length && "+- #0".contains(fmt.charAt(j))) j += 1
+        val flags = fmt.substring(flagStart, j)
+        def argNumber(): Boolean =
+          if (j < fmt.length && fmt.charAt(j) == '[') {
+            val close = fmt.indexOf(']', j)
+            if (close > j + 1 && fmt.substring(j + 1, close).forall(_.isDigit)) {
+              argIdx = fmt.substring(j + 1, close).toInt - 1
+              explicitIdx = true
+              j = close + 1
+              true
+            } else false
+          } else false
+        var afterIndex = argNumber()
+        val wStart = j
+        while (j < fmt.length && fmt.charAt(j).isDigit) j += 1
+        val width = fmt.substring(wStart, j)
+        var precPart = ""
+        if (j < fmt.length && fmt.charAt(j) == '.') {
+          j += 1
+          afterIndex = argNumber()
+          val pStart = j
+          while (j < fmt.length && fmt.charAt(j).isDigit) j += 1
+          // Go: a '.' with no digits means precision 0
+          precPart = "." + (if (pStart == j) "0" else fmt.substring(pStart, j))
         }
-        val specA = scanSpec()
-        if (j < fmt.length && fmt.charAt(j) == '[') {
-          val close = fmt.indexOf(']', j)
-          if (close > j + 1 &&
-              fmt.substring(j + 1, close).forall(_.isDigit)) {
-            argIdx = fmt.substring(j + 1, close).toInt - 1
-            explicitIdx = true
-            j = close + 1
-          }
-        }
-        val spec = specA + (if (explicitIdx) scanSpec() else "")
+        if (!afterIndex) argNumber()
+        val spec = flags + width + precPart
         if (j >= fmt.length) { sb.append(fmt.substring(i)); i = fmt.length }
         else {
           val verb = fmt.charAt(j)

@@ -120,14 +120,35 @@ class StreamingMultimodalSpec extends SparkSuite {
     } finally q2.stop()
   }
 
-  test("multimodal: decode stub roundtrip, batched feature extraction, frame plan") {
+  test("multimodal: real BMP/WAV/Y4M roundtrip, batched extraction, frame plan") {
     val media = Multimodal.generate(spark, 60, partitions = 4)
+    val rows = media.collect()
+    // payloads are real containers: magic bytes per kind
+    rows.foreach { r =>
+      val magic = new String(r.payload.take(9), "US-ASCII")
+      r.kind match {
+        case "image" => assert(magic.startsWith("BM"))
+        case "audio" => assert(magic.startsWith("RIFF"))
+        case "video" => assert(magic == "YUV4MPEG2")
+      }
+    }
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 60)
+    // decoded facts come from the container headers and must match what
+    // the generator encoded (audio: WAV carries samples x channels)
+    val byId = rows.map(r => r.media_id -> r).toMap
     feats.foreach { f =>
+      val r = byId(f.media_id)
+      assert(f.kind == r.kind)
+      if (r.kind == "audio") {
+        assert(f.width == r.width * r.height && f.height == 1)
+      } else {
+        assert(f.width == r.width && f.height == r.height)
+      }
+      assert(f.n_frames == r.n_frames)
       assert(f.feature.length == 8)
       assert(math.abs(f.feature.sum - 1.0f) < 1e-3) // normalized histogram
-      assert(f.bytes_len > 16)
+      assert(f.bytes_len > 44)
     }
     // deterministic across runs
     val again = Multimodal.extractFeatures(media).collect()

@@ -59,6 +59,17 @@ class GoFormatSpec extends AnyFunSuite {
     assert(GoFormat.format("%5[2]d", 1, 42) == "   42")
   }
 
+  test("format: strict Go scan order rejects what Go rejects") {
+    // Go scans flags, [N], width, '.', [N], precision, [N], verb — after a
+    // post-width [N] a '.' IS the verb, so %4[2].1f renders a bad-verb
+    // marker (Go: "%!.(float64=2.5)1f"; we render values without the type
+    // prefix) instead of silently parsing width 4 precision 1
+    assert(GoFormat.format("%4[2].1f", 1.5, 2.5) == "%!.(2.5)1f")
+    // '.' with no digits = precision 0 (Go %.f)
+    assert(GoFormat.format("%.f", 1.567) == "2")
+    assert(GoFormat.format("%6.f", 1.567) == "     2")
+  }
+
   test("format: explicit [N] re-seats the implicit cursor (Go semantics)") {
     assert(GoFormat.format("%[2]s %s", "a", "b", "c") == "b c")
     assert(GoFormat.format("%s %s", "a", "b") == "a b")
