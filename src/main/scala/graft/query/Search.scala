@@ -519,13 +519,20 @@ class Search(spark: SparkSession, dir: String,
       else hits.where(!$"url".isInCollection(probe.toSeq))
     } else {
       // above the gate, materialize the (bounded: one row per bad url) set
-      // to a session-temp parquet and unpersist — a long-lived session
-      // running many above-gate calls must not pin cached blocks until LRU
-      // pressure evicts them; the lazy consumer re-reads a tiny file instead
-      val tmp = java.nio.file.Files.createTempDirectory("graft_badurls_")
-      bad.select("url").write.mode("overwrite").parquet(tmp.toString)
+      // as a scratch parquet and unpersist — a long-lived session running
+      // many above-gate calls must not pin cached blocks until LRU
+      // pressure evicts them; the lazy consumer re-reads a tiny file
+      // instead. The scratch lives INSIDE the index dir: that is shared
+      // storage by construction (every executor reads/writes it), whereas
+      // a driver-local temp path would shred across executor-local disks
+      // on a real cluster. One fixed path, overwritten per call — zero
+      // accumulation; concurrent above-gate searchFresh calls against the
+      // SAME index would race it, matching the engine's existing
+      // one-writer-per-index maintenance assumption.
+      val scratch = s"$dir/badurls_scratch"
+      bad.select("url").write.mode("overwrite").parquet(scratch)
       bad.unpersist()
-      hits.join(spark.read.parquet(tmp.toString), Seq("url"), "left_anti")
+      hits.join(spark.read.parquet(scratch), Seq("url"), "left_anti")
     }
   }
 
