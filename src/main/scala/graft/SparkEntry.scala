@@ -225,6 +225,18 @@ object SparkEntry {
     }),
     "q22_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(docsTable(s, d), 600)),
     "q23_simhash" -> ((s, d) => Dedup.simhash(docsTable(s, d))),
+    // ---- ExactSubstr-style repeated spans over the footered corpus (the
+    // shared footers + natural prefix dups make nonzero maximal spans)
+    "q49_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(footered(s, d), minDocs = 3, minSpanWords = 5)),
+    // ---- deterministic stratified sampling (data-mixing weights): fixed
+    // per-lang permille rates incl. a 0 (dropped stratum)
+    "q50_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 500), ("de", 250), ("es", 250), ("fr", 125),
+        ("zh", 0)).toDF("lang", "rate_permille")
+      TextOps.stratifiedSample(docsTable(s, d), rates)
+    }),
     // ---- similarity search
     "q24_ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(embTable(s, d), 3, 5)
@@ -548,6 +560,29 @@ object SparkEntry {
           ORDER BY doc_id, bench_id""",
     "q22_minhash_lsh_pairs" ->
       s"$ShingleCte SELECT da, db, jaccard_permille FROM jac WHERE jaccard_permille >= 600 ORDER BY da, db",
+    "q49_repeated_spans" ->
+      s"""$FooterCte,
+          w AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^0-9a-z]+'), x -> x <> '') AS arr FROM f),
+          p AS (SELECT doc_id, i AS pos, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM w, unnest(range(1, len(arr) - 1)) u(i)
+                WHERE len(arr) >= 3),
+          hot AS (SELECT s FROM p GROUP BY s HAVING count(DISTINCT doc_id) >= 3),
+          m AS (SELECT doc_id, pos FROM p JOIN hot USING (s)),
+          r AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM m)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_words
+          FROM r GROUP BY doc_id, grp
+          HAVING max(pos) - min(pos) + 3 >= 5
+          ORDER BY doc_id, span_start""",
+    "q50_stratified_sample" ->
+      """WITH rates(lang, rate_permille) AS (VALUES
+           ('en', 500), ('de', 250), ('es', 250), ('fr', 125), ('zh', 0))
+         SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+         WHERE (doc_id * 2654435761) % 1000000007 % 1000 < rate_permille
+         ORDER BY doc_id""",
     "q23_simhash" ->
       s"""WITH w AS ($W),
           tf AS (SELECT doc_id, term, count(*) AS f FROM ($TOK) GROUP BY 1, 2),

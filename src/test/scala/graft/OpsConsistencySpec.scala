@@ -82,6 +82,41 @@ class OpsConsistencySpec extends SparkSuite {
     assert(got == List((0L, 3L), (2L, 2L)))
   }
 
+  test("repeatedSpans finds maximal hot-shingle runs (hand-computed fixture)") {
+    // "alpha beta gamma delta epsilon" (5 words, shingle positions 1-3)
+    // appears in docs 0,1,2 -> hot; each doc's surrounding words are
+    // unique -> bridge shingles are cold, so the maximal span is exactly
+    // positions 2..4 (after the 1-word prefix), 5 words. Doc 3 carries it
+    // twice -> two spans. Doc 4 shares nothing.
+    val core = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, s"zero $core tail0 x0"),
+      (1L, s"one $core tail1 y1"),
+      (2L, s"two $core tail2 z2"),
+      (3L, s"three $core mid3 w3 q3 $core end3"),
+      (4L, "nothing shared here at all five")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.repeatedSpans(docs, minDocs = 3, minSpanWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((0L, 2L, 5L), (1L, 2L, 5L), (2L, 2L, 5L),
+      (3L, 2L, 5L), (3L, 10L, 5L)))
+    // a higher word floor drops the 5-word spans
+    assert(graft.ops.Dedup.repeatedSpans(docs, 3, 6).collect().isEmpty)
+  }
+
+  test("stratifiedSample is deterministic and respects zero-rate strata") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"text $i", if (i % 2 == 0) "en" else "zz"))
+      .toDF("doc_id", "text", "lang")
+    val rates = Seq(("en", 500), ("zz", 0)).toDF("lang", "rate_permille")
+    val a = graft.ops.TextOps.stratifiedSample(docs, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(a.nonEmpty && a.forall(_._2 == "en")) // zz fully dropped
+    assert(a.size < 100)                          // en subsampled
+    val b = graft.ops.TextOps.stratifiedSample(docs, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(a == b) // bit-stable across runs
+  }
+
   test("doc length stats agree") {
     val dls = TextOps.docStats(df).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -220,6 +220,19 @@ class PlanSpec extends SparkSuite {
       s"above-gate path lost the distributed join:\n${pAbove.take(800)}")
   }
 
+  test("stratifiedSample broadcasts the rates side; selection is map-side") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rates = Seq(("en", 500)).toDF("lang", "rate_permille")
+    val df = graft.ops.TextOps.stratifiedSample(docs, rates)
+    assert(df.count() > 0)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "rates joined through a shuffle — the corpus must not move to sample it")
+  }
+
   test("global fuzzy rank runs distributed (no single-partition window)") {
     val df = search.fuzzySearch(Seq("the"), 0.3, sortGlobal = true)
     val p = df.queryExecution.executedPlan.toString
