@@ -50,6 +50,38 @@ object SparkEntry {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
+  /** documents with TWO generations of exact clones seeded (every 53rd doc
+    * at +10^7, every 106th ALSO at +2*10^7), so near-dup components of size
+    * 2 AND 3 exist — the connected-components input (q51). The natural
+    * corpus contributes its own >= 900-permille near-dup edges on top.
+    */
+  private def dupSeeded2(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsTable(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionAll(d.where(col("doc_id") % 106 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents with deterministic PII seeded per doc_id: an email for every
+    * doc, a phone for even ids, an IPv4 for ids % 3 == 0 (q52 input — the
+    * natural corpus contains none of these shapes). Digit groups are
+    * arithmetically forced to fixed widths (100..999, 1000..9999) so the
+    * bounded-repetition regexes match without padding functions.
+    */
+  private def piiSeeded(spark: SparkSession, dir: String): DataFrame =
+    docsTable(spark, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit("\ncontact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+      when(col("doc_id") % 2 === 0, concat(lit("\ncall +1 555-"),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit("\nhost 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"))).otherwise(lit("")))
+      .as("text"))
+
   /** q42's candidate-generation df cap. Calibrated: the worst qualifying
     * pair's MIN shared-shingle df is 4 (sf0.001), 3 (sf0.01), 10 (sf0.1) —
     * Verify re-derives that number per corpus via
@@ -237,6 +269,18 @@ object SparkEntry {
         ("zh", 0)).toDF("lang", "rate_permille")
       TextOps.stratifiedSample(docsTable(s, d), rates)
     }),
+    // ---- near-dup clustering: connected components over exact-Jaccard
+    // >= 900 permille pairs of the doubly-dup-seeded corpus (components of
+    // size 2 and 3 by construction; exact edges keep the oracle exact —
+    // production composes dupClusters with minhashLshPairs instead)
+    "q51_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.jaccardPairs(dupSeeded2(s, d), 900,
+        allowUncapped = true))),
+    // ---- PII scan over deterministically seeded emails/phones/IPs
+    "q52_pii_scan" -> ((s, d) => TextOps.piiScan(piiSeeded(s, d))),
+    // ---- per-domain mix report over the canonicalized messy urls
+    "q53_domain_stats" -> ((s, d) => TextOps.domainStats(
+      docsTable(s, d).select(col("doc_id"), messyUrl.as("url"), col("text")))),
     // ---- similarity search
     "q24_ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(embTable(s, d), 3, 5)
@@ -351,6 +395,36 @@ object SparkEntry {
     when(col("doc_id") % 2 === 0, "/").otherwise(""),
     when(col("doc_id") % 5 === 0, "?utm_source=x&b=2&a=1").otherwise("?b=2&a=1"),
     when(col("doc_id") % 4 === 0, "#frag").otherwise(""))
+
+  /** Messy url + full canonicalization chain — the SQL mirror of
+    * [[messyUrl]] + [[graft.ops.TextOps.canonicalizeUrl]], shared by
+    * q46/q53. Yields `c(doc_id, url_canon)`.
+    */
+  private val CanonCte =
+    """WITH m AS (SELECT doc_id,
+         'HTTP://ExAmple' || (doc_id % 7) || '.COM' ||
+         CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+         '/path/' || (doc_id % 11) ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '?b=2&a=1' END ||
+         CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS u
+         FROM documents),
+       s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS nf FROM m),
+       s2 AS (SELECT doc_id, nf,
+         regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS pre FROM s1),
+       s3 AS (SELECT doc_id, lower(pre) AS sh, substr(nf, length(pre) + 1) AS rest FROM s2),
+       s4 AS (SELECT doc_id,
+         CASE WHEN starts_with(sh, 'http://') THEN regexp_replace(sh, ':80$', '')
+              WHEN starts_with(sh, 'https://') THEN regexp_replace(sh, ':443$', '')
+              ELSE sh END AS sh2,
+         regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(rest, '^[^?]*[?](.*)$', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS q2
+         FROM s3),
+       c AS (SELECT doc_id,
+         sh2 || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
+         FROM s4)"""
 
   /** documents + synthetic boilerplate — the SQL mirror of [[footered]]. */
   private val FooterCte =
@@ -501,30 +575,7 @@ object SparkEntry {
           FROM l2 LEFT JOIN top ON l2.doc_id = top.doc_id
           ORDER BY l2.doc_id""",
     "q46_url_canonical" ->
-      """WITH m AS (SELECT doc_id,
-           'HTTP://ExAmple' || (doc_id % 7) || '.COM' ||
-           CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
-           '/path/' || (doc_id % 11) ||
-           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
-           CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '?b=2&a=1' END ||
-           CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS u
-           FROM documents),
-         s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS nf FROM m),
-         s2 AS (SELECT doc_id, nf,
-           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS pre FROM s1),
-         s3 AS (SELECT doc_id, lower(pre) AS sh, substr(nf, length(pre) + 1) AS rest FROM s2),
-         s4 AS (SELECT doc_id,
-           CASE WHEN starts_with(sh, 'http://') THEN regexp_replace(sh, ':80$', '')
-                WHEN starts_with(sh, 'https://') THEN regexp_replace(sh, ':443$', '')
-                ELSE sh END AS sh2,
-           regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path,
-           array_to_string(list_sort(list_filter(
-             string_split(regexp_extract(rest, '^[^?]*[?](.*)$', 1), '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS q2
-           FROM s3)
-         SELECT doc_id,
-           sh2 || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
-         FROM s4 ORDER BY doc_id""",
+      s"$CanonCte SELECT doc_id, url_canon FROM c ORDER BY doc_id",
     "q44_boilerplate_lines" ->
       s"""$FooterCte,
           l AS (SELECT DISTINCT doc_id, line FROM (
@@ -583,6 +634,56 @@ object SparkEntry {
          SELECT doc_id, lang FROM documents JOIN rates USING (lang)
          WHERE (doc_id * 2654435761) % 1000000007 % 1000 < rate_permille
          ORDER BY doc_id""",
+    "q51_dup_clusters" ->
+      """WITH RECURSIVE d2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
+           UNION ALL SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 106 = 0),
+         w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS arr FROM d2),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+           FROM w WHERE len(arr) >= 3)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jac AS (SELECT da, db FROM pairs
+                 JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+                 WHERE (common * 1000) // (ca.n + cb.n - common) >= 900),
+         e AS (SELECT da AS v, db AS n FROM jac UNION SELECT db, da FROM jac),
+         reach(v, n) AS (SELECT v, n FROM e
+                         UNION SELECT r.v, e2.n FROM reach r JOIN e e2 ON r.n = e2.v)
+         SELECT CAST(v AS BIGINT) AS doc_id,
+                CAST(least(v, min(n)) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY v ORDER BY doc_id""",
+    "q52_pii_scan" ->
+      """WITH p AS (SELECT doc_id,
+           text || chr(10) || 'contact user' || CAST(doc_id AS VARCHAR) ||
+           '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+           CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'call +1 555-' ||
+             CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+             CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'host 10.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_md5
+         FROM p ORDER BY doc_id""",
+    "q53_domain_stats" ->
+      s"""$CanonCte, w AS ($W)
+          SELECT regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(arr)) AS BIGINT) AS sum_tokens
+          FROM c JOIN w USING (doc_id)
+          GROUP BY 1 ORDER BY 1""",
     "q23_simhash" ->
       s"""WITH w AS ($W),
           tf AS (SELECT doc_id, term, count(*) AS f FROM ($TOK) GROUP BY 1, 2),

@@ -147,6 +147,63 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Connected components over a near-duplicate pair graph — the
+    * cluster-then-keep-one step that follows any pair generator
+    * ([[exactDupGroups]]' groups, [[minhashLshPairs]], [[simhashPairs]]):
+    * near-dup is not transitive, but dedup policy treats it as if it were,
+    * so pairs must be closed into components before survivors are chosen.
+    * Input is (da, db) pairs; output is (doc_id, cluster_id) for every doc
+    * that appears in a pair, with cluster_id = the smallest doc_id in the
+    * component — the canonical survivor (consumers drop rows where
+    * doc_id != cluster_id).
+    *
+    * Algorithm: distributed hash-min label propagation (the classic
+    * MapReduce-CC shape, cf. Kiveris et al. "Connected Components in
+    * MapReduce and Beyond", public): every vertex starts labeled with
+    * itself; each round every vertex takes the min of its own and its
+    * neighbors' labels; done when nothing changes. Rounds = graph
+    * diameter — near-dup components are band-collision near-cliques, so
+    * diameters stay small at any corpus size. Each round is one shuffle
+    * join (edges x labels) + one min-aggregation, all distributed; labels
+    * only ever decrease, so convergence is detected by an unchanged 1-row
+    * (count, sum) fingerprint — nothing but that scalar ever reaches the
+    * driver. Superseded label frames are unpersisted each round.
+    */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val e = pairs.select(col("da").as("v"), col("db").as("n"))
+      .unionAll(pairs.select(col("db").as("v"), col("da").as("n")))
+      .distinct().persist()
+    var lab = e.select(col("v")).distinct().withColumn("l", col("v")).persist()
+    // (vertex count, label sum): labels only decrease, so an unchanged
+    // fingerprint == no label changed (sum is null only on an empty graph)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("l"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(lab)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val prop = e.join(
+          lab.select(col("v").as("n"), col("l").as("nl")), Seq("n"))
+        .select(col("v"), col("nl").as("l"))
+      val nxt = lab.unionAll(prop)
+        .groupBy("v").agg(min(col("l")).as("l")).persist()
+      val nfp = fingerprint(nxt)
+      done = nfp == fp
+      lab.unpersist()
+      lab = nxt
+      fp = nfp
+      rounds += 1
+    }
+    require(done, s"dupClusters did not converge in $maxRounds rounds " +
+      "(graph diameter exceeds the round cap)")
+    e.unpersist()
+    lab.select(col("v").cast("long").as("doc_id"),
+        col("l").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Cap-calibration probe for the df-capped [[jaccardPairs]]: over all
     * pairs whose TRUE Jaccard >= threshold, the largest "min shared-shingle
     * df" — i.e. the smallest cap that still generates every qualifying pair

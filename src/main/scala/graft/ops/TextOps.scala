@@ -200,6 +200,58 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** PII patterns, deliberately restricted to syntax that parses and
+    * matches identically in Java regex (Spark) and RE2 (DuckDB oracle):
+    * ASCII character classes, bounded repetition, `\b` word boundaries —
+    * no backrefs, no lookaround, no unicode classes. `\d`-free on purpose
+    * (`[0-9]` is unambiguous in both dialects).
+    */
+  final val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  final val PhoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+  final val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + redaction — the privacy-scrub pass a training-data
+    * pipeline runs before anything else sees the text: per-doc counts of
+    * email / international-phone / IPv4 literals plus the md5 of the text
+    * with each class replaced by its `[EMAIL]`/`[PHONE]`/`[IP]` marker
+    * (the digest keeps the oracle row narrow; the redacted text itself is
+    * the same expression minus the md5). Entirely per-row Catalyst
+    * expressions — codegen'd, zero shuffles, scales linearly with the
+    * scan; counts are taken on the ORIGINAL text so redaction order can
+    * never mask a count.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    def n(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(Ipv4Re), lit("[IP]"))
+    docs.select(col("doc_id"),
+      n(EmailRe).as("n_emails"), n(PhoneRe).as("n_phones"),
+      n(Ipv4Re).as("n_ipv4"), md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain corpus mix report — the crawl-side aggregation behind
+    * domain caps and mixing decisions: canonical host -> document count
+    * and total token count. One map-side projection (canonicalize + host
+    * extract + in-row token count) then a single partial-agg shuffle keyed
+    * by the host; no row carries text past the map side, and hosts are a
+    * naturally low-cardinality key so the aggregate output is tiny at any
+    * corpus size.
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs.select(
+        regexp_extract(canonicalizeUrl(col("url")),
+          "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1).as("host"),
+        size(wordsCol).as("ntok"))
+      .groupBy("host")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ntok")).cast("long").as("sum_tokens"))
+      .orderBy("host")
+
   /** Gram document frequencies (reference posting-list cardinality, A2). */
   def gramDf(docs: DataFrame): DataFrame =
     docGrams(docs).groupBy("gram").agg(count(lit(1)).as("df")).orderBy("gram")

@@ -117,6 +117,47 @@ class OpsConsistencySpec extends SparkSuite {
     assert(a == b) // bit-stable across runs
   }
 
+  test("dupClusters closes pair graphs into min-labeled components") {
+    // path 10-20-30, pair 40-50, and a diameter-3 chain 100-200-300-400
+    // (forces multiple propagation rounds)
+    val pairs = Seq((20L, 10L), (20L, 30L), (40L, 50L),
+      (100L, 200L), (200L, 300L), (300L, 400L)).toDF("da", "db")
+    val got = graft.ops.Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L,
+      50L -> 40L, 100L -> 100L, 200L -> 100L, 300L -> 100L, 400L -> 100L))
+    // empty pair set -> empty output, no crash
+    assert(graft.ops.Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("da", "db")).collect().isEmpty)
+  }
+
+  test("piiScan counts and redacts emails/phones/IPs per row") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val clean = "no personal data here at all"
+    val docs = Seq(
+      (0L, "write a@b.com and c.d@e.org now\ncall +1 555-123-4567 ok\nip 10.1.2.3 end"),
+      (1L, clean)).toDF("doc_id", "text")
+    val got = TextOps.piiScan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toList
+    assert(got == List(
+      (0L, 2L, 1L, 1L,
+        md5hex("write [EMAIL] and [EMAIL] now\ncall [PHONE] ok\nip [IP] end")),
+      (1L, 0L, 0L, 0L, md5hex(clean))))
+  }
+
+  test("domainStats aggregates canonical hosts with token totals") {
+    val docs = Seq(
+      (1L, "http://A.com/x", "one two three"),
+      (2L, "http://a.com:80/y/", "four five"),
+      (3L, "https://b.org/z?utm_source=t", "six")).toDF("doc_id", "url", "text")
+    val got = TextOps.domainStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(("a.com", 2L, 5L), ("b.org", 1L, 1L)))
+  }
+
   test("doc length stats agree") {
     val dls = TextOps.docStats(df).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
