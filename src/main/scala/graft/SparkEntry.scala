@@ -82,6 +82,27 @@ object SparkEntry {
         (col("doc_id") % 250).cast("string"))).otherwise(lit("")))
       .as("text"))
 
+  /** documents with BOTH the shared boilerplate footers of [[footered]] and
+    * the per-doc PII lines of [[piiSeeded]] appended (footer lines first) —
+    * the q54 cleaning-pipeline input, exercising strip and redaction in one
+    * corpus while keeping `lang` for the sampling stage.
+    */
+  private def cleanInput(spark: SparkSession, dir: String): DataFrame =
+    docsTable(spark, dir).select(col("doc_id"), col("lang"), concat(
+      col("text"),
+      lit("\ncopyright example corp all rights reserved"),
+      when(col("doc_id") % 2 === 0, lit("\nsubscribe to our newsletter"))
+        .otherwise(lit("")),
+      lit("\ncontact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+      when(col("doc_id") % 2 === 0, concat(lit("\ncall +1 555-"),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit("\nhost 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"))).otherwise(lit("")))
+      .as("text"))
+
   /** q42's candidate-generation df cap. Calibrated: the worst qualifying
     * pair's MIN shared-shingle df is 4 (sf0.001), 3 (sf0.01), 10 (sf0.1) —
     * Verify re-derives that number per corpus via
@@ -278,6 +299,15 @@ object SparkEntry {
         allowUncapped = true))),
     // ---- PII scan over deterministically seeded emails/phones/IPs
     "q52_pii_scan" -> ((s, d) => TextOps.piiScan(piiSeeded(s, d))),
+    // ---- flagship composition: detect boilerplate corpus-wide, sample
+    // strata map-side, strip + redact + length-gate only the kept docs
+    "q54_clean_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 500), ("de", 250), ("es", 250), ("fr", 125),
+        ("zh", 0)).toDF("lang", "rate_permille")
+      TextOps.cleanPipeline(cleanInput(s, d), rates, minDocs = 3,
+        minTokens = 5)
+    }),
     // ---- per-domain mix report over the canonicalized messy urls
     "q53_domain_stats" -> ((s, d) => TextOps.domainStats(
       docsTable(s, d).select(col("doc_id"), messyUrl.as("url"), col("text")))),
@@ -677,6 +707,41 @@ object SparkEntry {
              '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_md5
          FROM p ORDER BY doc_id""",
+    "q54_clean_pipeline" ->
+      """WITH ci AS (SELECT doc_id, lang,
+           text || chr(10) || 'copyright example corp all rights reserved' ||
+           CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+           chr(10) || 'contact user' || CAST(doc_id AS VARCHAR) ||
+           '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+           CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'call +1 555-' ||
+             CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+             CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'host 10.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS text
+           FROM documents),
+         l AS (SELECT DISTINCT doc_id, line FROM (
+           SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+             x -> x <> '')) AS line FROM ci)),
+         bp AS (SELECT list(line) AS bp FROM (
+           SELECT line FROM l GROUP BY 1 HAVING count(*) >= 3)),
+         rates(lang, rate_permille) AS (VALUES
+           ('en', 500), ('de', 250), ('es', 250), ('fr', 125), ('zh', 0)),
+         kept AS (SELECT doc_id, lang, text FROM ci JOIN rates USING (lang)
+                  WHERE (doc_id * 2654435761) % 1000000007 % 1000 < rate_permille),
+         st AS (SELECT doc_id, lang, array_to_string(list_filter(
+                  string_split(text, chr(10)),
+                  x -> NOT list_contains(coalesce(bp.bp, []), x)), chr(10)) AS text
+                FROM kept, bp),
+         red AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                  '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS text
+                 FROM st)
+         SELECT doc_id, lang, md5(text) AS clean_md5 FROM red
+         WHERE len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+           x -> x <> '')) >= 5
+         ORDER BY doc_id""",
     "q53_domain_stats" ->
       s"""$CanonCte, w AS ($W)
           SELECT regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,

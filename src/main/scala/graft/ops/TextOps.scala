@@ -92,14 +92,25 @@ object TextOps {
     * collision between a kept and a boilerplate line is negligible).
     */
   def stripBoilerplate(docs: DataFrame, minDocs: Int,
-                       maxInlineLines: Int = MaxInlineBoilerplate): DataFrame = {
-    val bp = boilerplateLines(docs, minDocs).select(col("line"))
+                       maxInlineLines: Int = MaxInlineBoilerplate): DataFrame =
+    stripWith(docs, boilerplateLines(docs, minDocs), maxInlineLines)
+
+  /** [[stripBoilerplate]] with a caller-supplied boilerplate frame
+    * (`line` column) — the composition form: detection can run over the
+    * FULL corpus while the strip applies to any subset (e.g. a sampled
+    * stratum in [[cleanPipeline]]), keeping the >= minDocs counts
+    * corpus-global. Same size-gated two-shape plan; every non-`text`
+    * input column passes through untouched.
+    */
+  def stripWith(docs: DataFrame, boilerplate: DataFrame,
+                maxInlineLines: Int = MaxInlineBoilerplate): DataFrame = {
+    val bp = boilerplate.select(col("line"))
     val probe = bp.limit(maxInlineLines + 1).collect().map(_.getString(0))
     val stripped =
       if (probe.length <= maxInlineLines)
-        docs.select(col("doc_id"),
+        docs.withColumn("text",
           array_join(filter(split(col("text"), "\n"),
-            l => !array_contains(typedlit(probe.toSeq), l)), "\n").as("text"))
+            l => !array_contains(typedlit(probe.toSeq), l)), "\n"))
       else {
         val bpH = bp.select(md5(col("line")).as("h"))
         val rm = docs.select(col("doc_id"),
@@ -109,11 +120,12 @@ object TextOps {
           .join(bpH, Seq("h"))
           .groupBy("doc_id").agg(collect_set(col("h")).as("rm"))
         docs.join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .withColumn("text",
             array_join(filter(split(col("text"), "\n"),
               l => !array_contains(
                 coalesce(col("rm"), typedlit(Seq.empty[String])), md5(l))),
-              "\n").as("text"))
+              "\n"))
+          .drop("rm")
       }
     stripped.orderBy("doc_id")
   }
@@ -220,17 +232,52 @@ object TextOps {
     * scan; counts are taken on the ORIGINAL text so redaction order can
     * never mask a count.
     */
+  /** `text` with each PII class replaced by its marker (per-row, no
+    * shuffle): emails -> `[EMAIL]`, then phones -> `[PHONE]`, then IPv4 ->
+    * `[IP]` — the classes are mutually non-overlapping by construction, so
+    * order never changes the result.
+    */
+  def piiRedacted(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(Ipv4Re), lit("[IP]"))
+
   def piiScan(docs: DataFrame): DataFrame = {
     def n(re: String) =
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")),
-        lit(PhoneRe), lit("[PHONE]")),
-      lit(Ipv4Re), lit("[IP]"))
     docs.select(col("doc_id"),
       n(EmailRe).as("n_emails"), n(PhoneRe).as("n_phones"),
-      n(Ipv4Re).as("n_ipv4"), md5(redacted).as("redacted_md5"))
+      n(Ipv4Re).as("n_ipv4"), md5(piiRedacted(col("text"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end cleaning pipeline — the composition a webtext corpus
+    * actually ships through before training: corpus-global boilerplate
+    * detection -> deterministic stratified sampling -> boilerplate strip
+    * -> PII redaction -> minimum-length quality gate. Output is
+    * (doc_id, lang, clean_md5) for the surviving docs.
+    *
+    * Scale shape: the >= `minDocs` boilerplate counts are computed over
+    * the FULL corpus (one digest-keyed shuffle), but the sampling selector
+    * reads only (doc_id, lang) — it commutes with every cleaning step —
+    * so it runs FIRST as a broadcast-join map-side filter and the strip /
+    * redact / gate stages touch only the kept fraction. Strip is the
+    * size-gated two-shape plan of [[stripWith]]; redaction and the token
+    * gate are per-row codegen'd expressions. Deterministic end to end:
+    * same survivors, same digests, on every run, retry, and engine.
+    */
+  def cleanPipeline(docs: DataFrame, rates: DataFrame, minDocs: Int,
+                    minTokens: Int): DataFrame = {
+    val bp = boilerplateLines(docs, minDocs)
+    val kept = docs.join(broadcast(rates), Seq("lang"))
+      .where(expr(IdHashPermilleSql) < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    stripWith(kept, bp)
+      .withColumn("text", piiRedacted(col("text")))
+      .where(size(wordsCol) >= minTokens)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("clean_md5"))
       .orderBy("doc_id")
   }
 

@@ -148,6 +148,32 @@ class OpsConsistencySpec extends SparkSuite {
       (1L, 0L, 0L, 0L, md5hex(clean))))
   }
 
+  test("cleanPipeline: sample -> strip -> redact -> length gate (hand-computed)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val footer = "shared footer line"
+    val docs = Seq(
+      (0L, "en", s"mail me a@b.com please beta gamma delta\n$footer"),
+      (1L, "zz", s"this stratum is dropped entirely here\n$footer"),
+      (2L, "en", s"alpha beta gamma delta epsilon x2\n$footer"),
+      (4L, "en", s"alpha beta gamma delta epsilon x4\n$footer"),
+      (6L, "en", s"alpha beta gamma delta epsilon x6\n$footer"),
+      (8L, "en", s"tiny\n$footer")).toDF("doc_id", "lang", "text")
+    val rates = Seq(("en", 1000), ("zz", 0)).toDF("lang", "rate_permille")
+    // footer is in >= 4 docs -> stripped; doc 1 dropped by rate 0; doc 8
+    // drops to 1 token after the strip -> fails the 5-token gate; doc 0's
+    // email redacts before hashing
+    val got = graft.ops.TextOps.cleanPipeline(docs, rates, minDocs = 4,
+        minTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toList
+    assert(got == List(
+      (0L, "en", md5hex("mail me [EMAIL] please beta gamma delta")),
+      (2L, "en", md5hex("alpha beta gamma delta epsilon x2")),
+      (4L, "en", md5hex("alpha beta gamma delta epsilon x4")),
+      (6L, "en", md5hex("alpha beta gamma delta epsilon x6"))))
+  }
+
   test("domainStats aggregates canonical hosts with token totals") {
     val docs = Seq(
       (1L, "http://A.com/x", "one two three"),
