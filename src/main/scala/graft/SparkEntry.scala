@@ -282,6 +282,12 @@ object SparkEntry {
     // shared footers + natural prefix dups make nonzero maximal spans)
     "q49_repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(footered(s, d), minDocs = 3, minSpanWords = 5)),
+    // ---- the trim itself: same corpus, qualifying spans cut token-level
+    "q55_strip_repeated_spans" -> ((s, d) =>
+      Dedup.stripRepeatedSpans(footered(s, d), minDocs = 3, minSpanWords = 5)),
+    // ---- tf-idf keyword extraction (integer-micro ranked)
+    "q56_tfidf_keywords" -> ((s, d) =>
+      TextOps.tfidfTopTerms(docsTable(s, d), 3)),
     // ---- deterministic stratified sampling (data-mixing weights): fixed
     // per-lang permille rates incl. a 0 (dropped stratum)
     "q50_stratified_sample" -> ((s, d) => {
@@ -658,6 +664,41 @@ object SparkEntry {
           FROM r GROUP BY doc_id, grp
           HAVING max(pos) - min(pos) + 3 >= 5
           ORDER BY doc_id, span_start""",
+    "q55_strip_repeated_spans" ->
+      s"""$FooterCte,
+          w AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^0-9a-z]+'), x -> x <> '') AS arr FROM f),
+          p AS (SELECT doc_id, i AS pos, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM w, unnest(range(1, len(arr) - 1)) u(i)
+                WHERE len(arr) >= 3),
+          hot AS (SELECT s FROM p GROUP BY s HAVING count(DISTINCT doc_id) >= 3),
+          m AS (SELECT doc_id, pos FROM p JOIN hot USING (s)),
+          r AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM m),
+          sp AS (SELECT doc_id, min(pos) AS st, max(pos) - min(pos) + 3 AS nw
+                 FROM r GROUP BY doc_id, grp
+                 HAVING max(pos) - min(pos) + 3 >= 5),
+          rmp AS (SELECT doc_id, flatten(list(range(st, st + nw))) AS rmp
+                  FROM sp GROUP BY doc_id)
+          SELECT w.doc_id AS doc_id, coalesce(array_to_string(list_filter(arr,
+            (x, i) -> NOT list_contains(coalesce(rmp.rmp, []), i)), ' '), '') AS text
+          FROM w LEFT JOIN rmp ON w.doc_id = rmp.doc_id
+          ORDER BY w.doc_id""",
+    "q56_tfidf_keywords" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ($TOK) GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          sc AS (SELECT doc_id, term,
+                 CAST(floor(CAST(tf AS DOUBLE) *
+                   ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS score_micro
+                 FROM tf JOIN df USING (term), n),
+          rk AS (SELECT doc_id, term, score_micro,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_micro DESC, term) AS rn FROM sc)
+          SELECT doc_id, term, score_micro, rn FROM rk WHERE rn <= 3
+          ORDER BY doc_id, rn""",
     "q50_stratified_sample" ->
       """WITH rates(lang, rate_permille) AS (VALUES
            ('en', 500), ('de', 250), ('es', 250), ('fr', 125), ('zh', 0))

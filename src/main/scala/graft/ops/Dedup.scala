@@ -147,6 +147,33 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** [[repeatedSpans]] applied — the ExactSubstr-style trim itself:
+    * each document's word stream with every word inside a qualifying
+    * repeated span removed. Token-level contract (output text is the
+    * space-joined surviving words), matching the suffix-array original
+    * which operates on the tokenized stream, not raw bytes.
+    *
+    * Scale shape: spans are already narrow (doc_id, start, len) rows;
+    * they collapse to one bounded per-doc removal-position array, and the
+    * corpus text shuffles exactly once — through the SHUFFLE_HASH join
+    * against that small removal side (the stripBoilerplate above-gate
+    * pattern); the cut is an in-row indexed filter, codegen'd.
+    */
+  def stripRepeatedSpans(docs: DataFrame, minDocs: Int,
+                         minSpanWords: Int): DataFrame = {
+    val rm = repeatedSpans(docs, minDocs, minSpanWords)
+      .select(col("doc_id"),
+        expr("sequence(span_start, span_start + span_words - 1)").as("ps"))
+      .groupBy("doc_id").agg(flatten(collect_list(col("ps"))).as("rmp"))
+    TextOps.withWords(docs)
+      .join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"), array_join(filter(col("arr"),
+          (w, i) => !array_contains(
+            coalesce(col("rmp"), typedlit(Seq.empty[Long])),
+            (i + 1).cast("long"))), " ").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * cluster-then-keep-one step that follows any pair generator
     * ([[exactDupGroups]]' groups, [[minhashLshPairs]], [[simhashPairs]]):

@@ -299,6 +299,36 @@ object TextOps {
         sum(col("ntok")).cast("long").as("sum_tokens"))
       .orderBy("host")
 
+  /** Tf-idf keyword extraction: top-`k` terms per document by
+    * tf * ln(N / df) — the topicality signal used for tagging / routing /
+    * domain-mix analysis. Scores are floored to integer micros and the
+    * per-doc ranking runs ON THE FLOORED INTEGER (ties broken by term), so
+    * rank order can never flip on a final-ulp double divergence between
+    * engines — the BM25-oracle discipline applied to keywords.
+    *
+    * Scale shape: map-side partial tf aggregation, a vocabulary-sized df
+    * aggregate co-shuffled on the term key, a 1-row broadcast for N, and a
+    * per-doc row_number window (doc-partitioned, fully distributed); k
+    * bounds the output, not the work — the window never materializes more
+    * than each doc's term list.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val sc = tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")) *
+          lit(1000000)).cast("long"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term"))
+    sc.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select("doc_id", "term", "score_micro", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
   /** Gram document frequencies (reference posting-list cardinality, A2). */
   def gramDf(docs: DataFrame): DataFrame =
     docGrams(docs).groupBy("gram").agg(count(lit(1)).as("df")).orderBy("gram")

@@ -103,6 +103,44 @@ class OpsConsistencySpec extends SparkSuite {
     assert(graft.ops.Dedup.repeatedSpans(docs, 3, 6).collect().isEmpty)
   }
 
+  test("stripRepeatedSpans cuts exactly the qualifying spans, token-level") {
+    val core = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, s"zero $core tail0 x0"),
+      (1L, s"one $core tail1 y1"),
+      (2L, s"two $core tail2 z2"),
+      (3L, s"three $core mid3 w3 q3 $core end3"),
+      (4L, "nothing shared here at all five")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.stripRepeatedSpans(docs, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got == List(
+      (0L, "zero tail0 x0"), (1L, "one tail1 y1"), (2L, "two tail2 z2"),
+      (3L, "three mid3 w3 q3 end3"),
+      (4L, "nothing shared here at all five")))
+    // below-floor spans survive in full
+    assert(graft.ops.Dedup.stripRepeatedSpans(docs, 3, 6).collect()
+      .map(_.getString(1)).toList ==
+      docs.orderBy("doc_id").collect().map(_.getString(1)).toList
+        .map(_.toLowerCase))
+  }
+
+  test("tfidfTopTerms ranks on floored micros with term tie-break") {
+    val docs = Seq(
+      (0L, "apple apple banana common common common"),
+      (1L, "banana cherry common common"),
+      (2L, "cherry cherry cherry common")).toDF("doc_id", "text")
+    def micro(tf: Long, df: Long): Long =
+      math.floor(tf.toDouble * math.log(3.0 / df.toDouble) * 1000000).toLong
+    val got = graft.ops.TextOps.tfidfTopTerms(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    // common is in all 3 docs -> ln(1) = 0 -> never beats a rarer term
+    assert(got == List(
+      (0L, "apple", micro(2, 1), 1L), (0L, "banana", micro(1, 2), 2L),
+      (1L, "banana", micro(1, 2), 1L), (1L, "cherry", micro(1, 2), 2L),
+      (2L, "cherry", micro(3, 2), 1L), (2L, "common", micro(1, 3), 2L)))
+  }
+
   test("stratifiedSample is deterministic and respects zero-rate strata") {
     val docs = (0L until 200L)
       .map(i => (i, s"text $i", if (i % 2 == 0) "en" else "zz"))

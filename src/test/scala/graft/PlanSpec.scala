@@ -233,6 +233,23 @@ class PlanSpec extends SparkSuite {
       "rates joined through a shuffle — the corpus must not move to sample it")
   }
 
+  test("cleanPipeline: rates broadcast, no shuffle join touches the corpus") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, "en", s"alpha beta gamma delta epsilon t$i\nshared footer"))
+      .toDF("doc_id", "lang", "text")
+    val rates = Seq(("en", 500)).toDF("lang", "rate_permille")
+    val df = graft.ops.TextOps.cleanPipeline(docs, rates, minDocs = 3,
+      minTokens = 3)
+    assert(df.count() > 0)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    // below the strip gate the only join in the whole pipeline is the
+    // broadcast rates join — the corpus text never crosses a shuffle join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus text crossed a shuffle join in the inline-strip pipeline")
+  }
+
   test("global fuzzy rank runs distributed (no single-partition window)") {
     val df = search.fuzzySearch(Seq("the"), 0.3, sortGlobal = true)
     val p = df.queryExecution.executedPlan.toString
