@@ -317,6 +317,20 @@ object SparkEntry {
     // ---- per-domain mix report over the canonicalized messy urls
     "q53_domain_stats" -> ((s, d) => TextOps.domainStats(
       docsTable(s, d).select(col("doc_id"), messyUrl.as("url"), col("text")))),
+    // ---- sequence packing: concat-and-chunk into 128-token training
+    // contexts across 4 hash shards
+    "q57_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(docsTable(s, d), ctxLen = 128, nShards = 4)),
+    // ---- CCNet-style keep-first line dedup over the footered corpus
+    // (shared footers dedup to their first occurrence only)
+    "q58_dedup_lines" -> ((s, d) =>
+      Dedup.dedupLinesKeepFirst(footered(s, d))),
+    // ---- hashed linear quality model (fastText-shape plumbing)
+    "q59_quality_model" -> ((s, d) =>
+      TextOps.hashedQualityScore(docsTable(s, d))),
+    // ---- vocabulary coverage / OOV rate vs the top-64 cf vocabulary
+    "q60_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(docsTable(s, d), vocabSize = 64)),
     // ---- similarity search
     "q24_ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(embTable(s, d), 3, 5)
@@ -790,6 +804,63 @@ object SparkEntry {
                  CAST(sum(len(arr)) AS BIGINT) AS sum_tokens
           FROM c JOIN w USING (doc_id)
           GROUP BY 1 ORDER BY 1""",
+    "q57_pack_sequences" ->
+      s"""WITH w AS ($W),
+          d AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 % 4 AS shard,
+                       CAST(len(arr) AS BIGINT) AS dl
+                FROM w WHERE len(arr) > 0),
+          s AS (SELECT doc_id, shard, dl,
+                CAST(sum(dl) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+                FROM d),
+          x AS (SELECT shard, doc_id, e - dl AS st, e, seq_id
+                FROM s, unnest(range((e - dl) // 128, (e - 1) // 128 + 1)) u(seq_id))
+          SELECT shard, seq_id, count(*) AS n_docs,
+                 CAST(sum(least(e, (seq_id + 1) * 128) -
+                          greatest(st, seq_id * 128)) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q58_dedup_lines" ->
+      s"""$FooterCte,
+          la AS (SELECT doc_id, i - 1 AS idx, ls[i] AS line
+                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM f),
+                      unnest(range(1, len(ls) + 1)) u(i)),
+          l AS (SELECT doc_id, idx, line FROM la WHERE line <> ''),
+          k AS (SELECT line, min(doc_id * 1048576 + idx) AS keep_k
+                FROM l GROUP BY line),
+          r AS (SELECT doc_id, idx FROM l JOIN k USING (line)
+                WHERE doc_id * 1048576 + idx <> keep_k),
+          kept AS (SELECT la.doc_id, la.idx, la.line FROM la
+                   LEFT JOIN r ON la.doc_id = r.doc_id AND la.idx = r.idx
+                   WHERE r.idx IS NULL),
+          agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+                  FROM kept GROUP BY doc_id)
+          -- LEFT JOIN from f: a doc whose EVERY line is a later duplicate
+          -- still appears, with empty text (8 such docs at sf0.1)
+          SELECT f.doc_id, coalesce(agg.text, '') AS text
+          FROM f LEFT JOIN agg USING (doc_id) ORDER BY f.doc_id""",
+    "q59_quality_model" ->
+      s"""WITH w AS ($W),
+          s AS (SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(arr, t ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(t) + 1),
+                      i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+                    (a, c) -> (a * 131 + c) % 1000000007) % 2001 - 1000)),
+                  (acc, v) -> acc + v) AS model_score
+                FROM w)
+          SELECT doc_id, model_score,
+                 CAST(CASE WHEN model_score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM s ORDER BY doc_id""",
+    "q60_vocab_coverage" ->
+      s"""WITH t AS ($TOK),
+          v AS (SELECT term, 1 AS iv FROM t GROUP BY term
+                ORDER BY count(*) DESC, term LIMIT 64),
+          j AS (SELECT doc_id, iv FROM t LEFT JOIN v USING (term)),
+          a AS (SELECT doc_id, count(*) AS n_tokens, count(iv) AS in_vocab
+                FROM j GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 (n_tokens - in_vocab) * 1000 // n_tokens AS oov_permille
+          FROM a ORDER BY doc_id""",
     "q23_simhash" ->
       s"""WITH w AS ($W),
           tf AS (SELECT doc_id, term, count(*) AS f FROM ($TOK) GROUP BY 1, 2),

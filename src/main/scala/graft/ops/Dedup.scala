@@ -24,6 +24,44 @@ object Dedup {
       .where(col("n_dups") > 1)
       .select("keeper", "n_dups").orderBy("keeper")
 
+  /** Corpus-global line-level exact dedup with keep-FIRST semantics
+    * (CCNet-style paragraph dedup, arXiv:1911.00359's dedup stage, at line
+    * granularity): every non-empty line that appears verbatim more than
+    * once in the corpus is kept only at its first occurrence — ordered by
+    * (doc_id, line index) — and removed everywhere else; empty lines are
+    * structural and always kept. Unlike [[TextOps.stripBoilerplate]]
+    * (drop ALL occurrences above a df threshold), this preserves exactly
+    * one copy of every duplicated line, the contract CCNet uses so shared
+    * content survives the corpus once.
+    *
+    * Scale shape: lines explode to (doc_id, idx, md5(line)) — the digest
+    * is the aggregation/join key, raw line text never shuffles. The
+    * keeper per digest is one min-aggregation over the composite integer
+    * key doc_id * 2^20 + idx (line index < 2^20 — larger docs would be
+    * length-gated far earlier in a real pipeline); non-keeper occurrences
+    * collapse to bounded per-doc removal-index arrays, and the corpus
+    * text shuffles exactly once through a SHUFFLE_HASH probe of that
+    * small side with an in-row indexed filter — the same trim shape as
+    * [[stripRepeatedSpans]].
+    */
+  def dedupLinesKeepFirst(docs: DataFrame): DataFrame = {
+    val l = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "idx", "line")
+      .where(col("line") =!= "")
+      .select(col("doc_id"), col("idx"),
+        (col("doc_id") * 1048576 + col("idx")).as("k"), md5(col("line")).as("h"))
+    val keep = l.groupBy("h").agg(min(col("k")).as("keep_k"))
+    val rm = l.join(keep, Seq("h")).where(col("k") =!= col("keep_k"))
+      .groupBy("doc_id").agg(collect_set(col("idx")).as("rmi"))
+    docs.join(rm.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"), array_join(filter(split(col("text"), "\n"),
+          (x, i) => !array_contains(
+            coalesce(col("rmi"), typedlit(Seq.empty[Int])), i)), "\n")
+        .as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Near-exact dedup by n-word-prefix fingerprint (URL/boilerplate-dedup
     * shape): groups sharing their first n words.
     */

@@ -329,6 +329,91 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a cleaned
+    * corpus into fixed-length training contexts (GPT-style: concatenate
+    * documents, cut every `ctxLen` tokens). Sharded so it parallelizes:
+    * each doc goes to shard = knuth_hash(doc_id) % `nShards` (the same
+    * multiplicative hash as [[stratifiedSample]], so shard fill is even
+    * under consecutive ids), docs are concatenated in doc_id order WITHIN
+    * a shard, and sequence boundaries fall every `ctxLen` tokens of the
+    * shard stream. Output is one row per (shard, seq_id): how many docs
+    * feed the sequence, how many tokens it holds (== ctxLen except each
+    * shard's tail), and the first/last contributing doc.
+    *
+    * Scale shape: token counts are taken map-side (`size(words)`, no
+    * explode) so text never shuffles; the only wide ops are a
+    * shard-partitioned running-sum window over narrow (doc_id, dl) rows
+    * and a (shard, seq_id)-keyed partial agg. Each doc explodes to at most
+    * dl/ctxLen + 1 narrow span rows. Entirely integer arithmetic —
+    * bit-stable across runs, partitionings and engines.
+    */
+  def packSequences(docs: DataFrame, ctxLen: Int, nShards: Int): DataFrame = {
+    val d = withWords(docs).select(
+        col("doc_id"),
+        expr(s"(doc_id * 2654435761) % 1000000007 % $nShards").as("shard"),
+        size(col("arr")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    d.withColumn("e", sum(col("dl")).over(w))
+      .withColumn("st", col("e") - col("dl"))
+      .select(col("shard"), col("doc_id"), col("st"), col("e"),
+        explode(expr(s"sequence(st div $ctxLen, (e - 1) div $ctxLen)"))
+          .as("seq_id"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("e"), (col("seq_id") + 1) * ctxLen) -
+          greatest(col("st"), col("seq_id") * ctxLen)).as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
+  /** Model-based quality filtering plumbing — a fastText-style hashed
+    * linear classifier applied at corpus scale: score(doc) = sum over
+    * tokens of weight(token), where weight is a deterministic pseudo-
+    * random permille in [-1000, 1000] derived from a polynomial character
+    * hash (stand-in for trained weights; swapping in a real model changes
+    * only the weight expression, not the plumbing). The entire scorer is
+    * one nested higher-order Catalyst expression — per-row, codegen'd,
+    * ZERO shuffles, so it scales exactly with the scan like the real
+    * fastText pass in a production pipeline. `keep` = score >= 0.
+    */
+  def hashedQualityScore(docs: DataFrame): DataFrame =
+    withWords(docs).select(
+      col("doc_id"),
+      expr("""aggregate(arr, 0L, (acc, w) ->
+               acc + (aggregate(transform(sequence(1, length(w)), i ->
+                        CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+                      0L, (a, c) -> (a * 131 + c) % 1000000007) % 2001 - 1000))
+           """).as("model_score"))
+      .select(col("doc_id"), col("model_score"),
+        when(col("model_score") >= 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+
+  /** Vocabulary coverage / OOV-rate report — the tokenizer-fit check run
+    * before committing a vocab: build the top-`vocabSize` vocabulary by
+    * collection frequency (ties broken by term so the cut is
+    * deterministic), then per doc count tokens inside/outside it.
+    * Returns (doc_id, n_tokens, oov_permille).
+    *
+    * Scale shape: the vocabulary is a global TakeOrdered of the term
+    * aggregate (output bounded by `vocabSize`) and BROADCASTS to the
+    * scoring pass, which is one narrow (doc_id)-keyed partial agg over
+    * the token stream — vocab membership is resolved map-side by the
+    * broadcast hash join, so the corpus shuffles once, as (doc_id, flag)
+    * rows, never as text.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val vocab = tokens(docs).groupBy("term").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("iv"))
+    tokens(docs).join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count(col("iv")).as("in_vocab"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_tokens - in_vocab) * 1000 div n_tokens").as("oov_permille"))
+      .orderBy("doc_id")
+  }
+
   /** Gram document frequencies (reference posting-list cardinality, A2). */
   def gramDf(docs: DataFrame): DataFrame =
     docGrams(docs).groupBy("gram").agg(count(lit(1)).as("df")).orderBy("gram")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Gram, Tokenizer}
-import graft.ops.TextOps
+import graft.ops.{Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** The relational ops (pure Catalyst expressions) must agree with the core
@@ -228,5 +228,71 @@ class OpsConsistencySpec extends SparkSuite {
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(dls(i.toLong) == Tokenizer.docLength(t), s"text='$t'")
     }
+  }
+
+  test("packSequences: concat-and-chunk boundaries (hand-computed fixture)") {
+    // one shard (n % 1 == 0) so the stream order is just doc_id order:
+    // doc 0 [0,3)  doc 1 [3,7)  doc 2 [7,13), ctx 5 =>
+    //   seq 0 [0,5): docs 0+1, seq 1 [5,10): docs 1+2, seq 2 [10,13): doc 2
+    val docs = Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i j k l m"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, ctxLen = 5, nShards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      (0L, 0L, 2L, 5L, 0L, 1L),
+      (0L, 1L, 2L, 5L, 1L, 2L),
+      (0L, 2L, 1L, 3L, 2L, 2L)))
+  }
+
+  test("packSequences: sharded run conserves tokens, one tail per shard") {
+    val docs = (0L until 200L)
+      .map(i => (i, (0 to (i % 7).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val total = TextOps.withWords(docs)
+      .agg(sum(size(col("arr")))).collect()(0).getLong(0)
+    val rows = TextOps.packSequences(docs, ctxLen = 16, nShards = 4).collect()
+    assert(rows.map(_.getLong(3)).sum == total, "token conservation")
+    // every sequence is full except at most one tail per shard
+    val tails = rows.filter(_.getLong(3) < 16L)
+    assert(tails.length <= 4)
+    assert(tails.map(_.getLong(0)).distinct.length == tails.length)
+    // bit-stable under a different input partitioning
+    val re = TextOps.packSequences(docs.repartition(7), ctxLen = 16, nShards = 4)
+    assert(re.collect().toList == rows.toList)
+  }
+
+  test("dedupLinesKeepFirst keeps only the first global occurrence") {
+    val docs = Seq(
+      (0L, "a\nb\nc"),
+      (1L, "b\nx\n\nc"), // dup b, c removed; empty line is structural
+      (2L, "c\nc\ny"),   // both c's lose to doc 0
+      (3L, "a"),          // whole doc dedups away -> empty text
+      (4L, "q\nq"))       // intra-doc dup: first q survives
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLinesKeepFirst(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got == List((0L, "a\nb\nc"), (1L, "x\n"), (2L, "y"),
+      (3L, ""), (4L, "q")))
+  }
+
+  test("hashedQualityScore == plain-Scala reimplementation of the hash") {
+    def weight(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007) % 2001 - 1000
+    val got = TextOps.hashedQualityScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val score = Tokenizer.terms(t).map(weight).sum
+      assert(got(i.toLong) == (score, if (score >= 0) 1L else 0L), s"text='$t'")
+    }
+  }
+
+  test("vocabCoverage: top-cf vocab with term tie-break, per-doc OOV permille") {
+    val docs = Seq((0L, "a a b c"), (1L, "a b b d"), (2L, "x y z"), (3L, ""))
+      .toDF("doc_id", "text")
+    // cf: a=3 b=3 c=d=x=y=z=1 -> top-2 = {a, b}; doc 3 has no tokens
+    val got = TextOps.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((0L, 4L, 250L), (1L, 4L, 250L), (2L, 3L, 1000L)))
   }
 }

@@ -264,6 +264,57 @@ class PlanSpec extends SparkSuite {
     assert(keys.toSeq == keys.sortBy(identity).toSeq)
   }
 
+  test("packSequences: window + agg only, document text never crosses a join") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"alpha beta gamma t$i"))
+      .toDF("doc_id", "text")
+    val df = graft.ops.TextOps.packSequences(docs, ctxLen = 16, nShards = 4)
+    assert(df.count() > 0)
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("join"),
+      s"packing grew a join — the shape is window + partial agg only:\n${p.take(600)}")
+    assert(p.contains("Window"), p.take(400))
+    // token counts are taken map-side: no shuffle carries the text column
+    "Exchange [^\\n]*".r.findAllIn(p).foreach { ex =>
+      assert(!ex.contains("text"), s"text crossed a shuffle: $ex")
+    }
+  }
+
+  test("hashedQualityScore is one map-side pass (no hash shuffle, no join)") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"some words here t$i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.TextOps.hashedQualityScore(docs))
+    assert(!p.toLowerCase.contains("join"), p.take(400))
+    // the only exchange is the output ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"scoring pass shuffled — it must scale with the scan:\n${p.take(600)}")
+  }
+
+  test("vocabCoverage: vocabulary broadcasts, corpus never shuffle-joins") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    val df = graft.ops.TextOps.vocabCoverage(docs, vocabSize = 8)
+    assert(df.count() > 0)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "vocab membership must resolve map-side via the broadcast join")
+  }
+
+  test("dedupLinesKeepFirst probes text through a hinted SHUFFLE_HASH join") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"unique body $i\nshared footer line")).toDF("doc_id", "text")
+    val df = graft.ops.Dedup.dedupLinesKeepFirst(docs)
+    assert(df.count() == 60)
+    val p = plan(df)
+    assert(p.contains("ShuffledHashJoin"),
+      s"text probe lost the SHUFFLE_HASH hint (SortMergeJoin would sort the corpus):\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("whole-stage codegen covers the relational ops pipeline") {
     val df = graft.ops.TextOps.termDf(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
