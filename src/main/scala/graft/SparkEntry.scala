@@ -331,6 +331,11 @@ object SparkEntry {
     // ---- vocabulary coverage / OOV rate vs the top-64 cf vocabulary
     "q60_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(docsTable(s, d), vocabSize = 64)),
+    // ---- the one-call near-dup dedup composition: MinHash-LSH pairs ->
+    // component closure -> keep-one survivors (doubly-dup-seeded corpus,
+    // 600-permille threshold — q22's proven banding-coverage regime)
+    "q61_neardup_survivors" -> ((s, d) =>
+      Dedup.nearDedupSurvivors(dupSeeded2(s, d), 600)),
     // ---- similarity search
     "q24_ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(embTable(s, d), 3, 5)
@@ -861,6 +866,34 @@ object SparkEntry {
           SELECT doc_id, n_tokens,
                  (n_tokens - in_vocab) * 1000 // n_tokens AS oov_permille
           FROM a ORDER BY doc_id""",
+    // survivors = docs minus non-minimum members of >=600-permille
+    // exact-Jaccard components (banding provably generates every
+    // qualifying pair in this regime — the q22 oracle equality)
+    "q61_neardup_survivors" ->
+      """WITH RECURSIVE d2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
+           UNION ALL SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 106 = 0),
+         w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS arr FROM d2),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+           FROM w WHERE len(arr) >= 3)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jac AS (SELECT da, db FROM pairs
+                 JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+                 WHERE (common * 1000) // (ca.n + cb.n - common) >= 600),
+         e AS (SELECT da AS v, db AS n FROM jac UNION SELECT db, da FROM jac),
+         reach(v, n) AS (SELECT v, n FROM e
+                         UNION SELECT r.v, e2.n FROM reach r JOIN e e2 ON r.n = e2.v),
+         cl AS (SELECT v, least(v, min(n)) AS cluster_id FROM reach GROUP BY v)
+         SELECT CAST(d2.doc_id AS BIGINT) AS doc_id
+         FROM d2 LEFT JOIN cl ON d2.doc_id = cl.v
+         WHERE cl.v IS NULL OR cl.cluster_id = d2.doc_id
+         ORDER BY doc_id""",
     "q23_simhash" ->
       s"""WITH w AS ($W),
           tf AS (SELECT doc_id, term, count(*) AS f FROM ($TOK) GROUP BY 1, 2),

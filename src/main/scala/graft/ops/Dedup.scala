@@ -195,7 +195,8 @@ object Dedup {
     * they collapse to one bounded per-doc removal-position array, and the
     * corpus text shuffles exactly once — through the SHUFFLE_HASH join
     * against that small removal side (the stripBoilerplate above-gate
-    * pattern); the cut is an in-row indexed filter, codegen'd.
+    * pattern); the cut is an in-row indexed filter (interpreted lambda,
+    * but map-side — it never leaves the probe stage).
     */
   def stripRepeatedSpans(docs: DataFrame, minDocs: Int,
                          minSpanWords: Int): DataFrame = {
@@ -267,6 +268,27 @@ object Dedup {
     lab.select(col("v").cast("long").as("doc_id"),
         col("l").cast("long").as("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  /** The end-to-end near-duplicate corpus dedup — the one-call composition
+    * a pipeline actually runs (RefinedWeb/Gopher's "keep one document per
+    * near-dup cluster"): [[minhashLshPairs]] generates exact-verified
+    * >= `thresholdPermille` pairs from banded signature collisions,
+    * [[dupClusters]] closes them into components, and every document
+    * that is not its component's minimum id is dropped. Returns the
+    * surviving doc_ids.
+    *
+    * Scale shape: inherits the banded-LSH candidate bound (no all-pairs
+    * work) and the per-round shuffle join + min-agg of the closure; the
+    * final membership check is a SHUFFLE_HASH left join against the
+    * cluster table, whose size is bounded by the paired-document count,
+    * not the corpus.
+    */
+  def nearDedupSurvivors(docs: DataFrame, thresholdPermille: Int): DataFrame = {
+    val clusters = dupClusters(minhashLshPairs(docs, thresholdPermille))
+    docs.join(clusters.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id")).orderBy("doc_id")
   }
 
   /** Cap-calibration probe for the df-capped [[jaccardPairs]]: over all

@@ -264,8 +264,9 @@ object TextOps {
     * reads only (doc_id, lang) — it commutes with every cleaning step —
     * so it runs FIRST as a broadcast-join map-side filter and the strip /
     * redact / gate stages touch only the kept fraction. Strip is the
-    * size-gated two-shape plan of [[stripWith]]; redaction and the token
-    * gate are per-row codegen'd expressions. Deterministic end to end:
+    * size-gated two-shape plan of [[stripWith]]; redaction is a codegen'd
+    * regexp chain and the token gate a per-row array expression.
+    * Deterministic end to end:
     * same survivors, same digests, on every run, retry, and engine.
     */
   def cleanPipeline(docs: DataFrame, rates: DataFrame, minDocs: Int,
@@ -373,9 +374,11 @@ object TextOps {
     * random permille in [-1000, 1000] derived from a polynomial character
     * hash (stand-in for trained weights; swapping in a real model changes
     * only the weight expression, not the plumbing). The entire scorer is
-    * one nested higher-order Catalyst expression — per-row, codegen'd,
-    * ZERO shuffles, so it scales exactly with the scan like the real
-    * fastText pass in a production pipeline. `keep` = score >= 0.
+    * one nested higher-order Catalyst expression — per-row and ZERO
+    * shuffles (higher-order lambdas evaluate interpreted, but the pass
+    * stays inside the scan stage), so it scales exactly with the scan
+    * like the real fastText pass in a production pipeline.
+    * `keep` = score >= 0.
     */
   def hashedQualityScore(docs: DataFrame): DataFrame =
     withWords(docs).select(

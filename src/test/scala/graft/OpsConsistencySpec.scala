@@ -287,6 +287,21 @@ class OpsConsistencySpec extends SparkSuite {
     }
   }
 
+  test("nearDedupSurvivors keeps exactly one doc per near-dup component") {
+    // component {0,1,2} (identical), component {5,6} (near-identical),
+    // 9 unique -> survivors are the component minima + the unpaired doc
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, t1), (1L, t1), (2L, t1),
+      (5L, "one two three four five six seven eight"),
+      (6L, "one two three four five six seven nine"),
+      (9L, "totally unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDedupSurvivors(docs, 600).collect()
+      .map(_.getLong(0)).toList
+    assert(got == List(0L, 5L, 9L))
+  }
+
   test("vocabCoverage: top-cf vocab with term tie-break, per-doc OOV permille") {
     val docs = Seq((0L, "a a b c"), (1L, "a b b d"), (2L, "x y z"), (3L, ""))
       .toDF("doc_id", "text")
