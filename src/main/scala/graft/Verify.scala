@@ -47,6 +47,27 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q42 cap self-check failed: ${e.getMessage}")
     }
+    // q22/q61 banding self-check: their oracle equality (banded-LSH pairs
+    // == ALL exact >= 600-permille pairs) holds only while every
+    // qualifying pair collides in at least one band — a measured property
+    // of the corpus, not a theorem. Clone-seeded pairs (q61) are
+    // jaccard-1000 and always collide, and clone-to-other pairs mirror
+    // original pairs, so checking the plain corpus covers both queries.
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val exact = graft.ops.Dedup
+        .jaccardPairs(docs, 600, allowUncapped = true).select("da", "db")
+      val banded = graft.ops.Dedup
+        .minhashLshPairs(docs, 600).select("da", "db")
+      val missed = exact.exceptAll(banded).count()
+      if (missed > 0)
+        System.err.println(s"[verify] q22/q61 banding miscalibrated for " +
+          s"$sfDir: $missed qualifying pair(s) never collide in any band — " +
+          "q22/q61 will show a parity mismatch until bands/rows are retuned")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] banding self-check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
