@@ -302,6 +302,31 @@ class OpsConsistencySpec extends SparkSuite {
     assert(got == List(0L, 5L, 9L))
   }
 
+  test("dedupLinesKeepFirst is idempotent (kept lines are globally unique)") {
+    val docs = Seq(
+      (0L, "a\nb\nc"), (1L, "b\nx\n\nc"), (2L, "c\nc\ny"), (3L, "a\n\n\na"))
+      .toDF("doc_id", "text")
+    val once = Dedup.dedupLinesKeepFirst(docs)
+    val twice = Dedup.dedupLinesKeepFirst(once)
+    assert(twice.collect().map(r => (r.getLong(0), r.getString(1))).toList ==
+      once.collect().map(r => (r.getLong(0), r.getString(1))).toList)
+  }
+
+  test("nearDedupSurvivors is idempotent (no qualifying pair among survivors)") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, t1), (1L, t1), (2L, t1 + " iota"),
+      (5L, "one two three four five six seven eight"),
+      (6L, "one two three four five six seven nine"),
+      (9L, "totally unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.nearDedupSurvivors(docs, 600)
+    val kept = docs.join(s1, Seq("doc_id"))
+    val s2 = Dedup.nearDedupSurvivors(kept, 600)
+    assert(s2.collect().map(_.getLong(0)).toList ==
+      s1.collect().map(_.getLong(0)).toList)
+  }
+
   test("vocabCoverage: top-cf vocab with term tie-break, per-doc OOV permille") {
     val docs = Seq((0L, "a a b c"), (1L, "a b b d"), (2L, "x y z"), (3L, ""))
       .toDF("doc_id", "text")
