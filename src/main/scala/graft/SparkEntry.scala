@@ -413,6 +413,17 @@ object SparkEntry {
           col("height").cast("long"), col("n_frames").cast("long"),
           col("bytes_len").cast("long"))
         .orderBy("media_id")),
+    // ---- image resize: decode -> nearest-neighbor /2 -> RE-ENCODE, then
+    // round-trip the resized bytes through the feature extractor's decoder
+    // (dims/sizes below are parsed from the re-encoded containers)
+    "q62_multimodal_resize" -> ((s, _) =>
+      graft.ops.Multimodal.extractFeatures(
+          graft.ops.Multimodal.resizeImages(
+            graft.ops.Multimodal.generate(s, 2000, partitions = 8), factor = 2))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width").cast("long"),
+          col("height").cast("long"), col("bytes_len").cast("long"))
+        .orderBy("media_id")),
     // ---- video frame-sampling plan (relational, no decode needed)
     "q39_frame_plan" -> ((s, _) =>
       graft.ops.Multimodal.sampleFramePlan(
@@ -1191,6 +1202,25 @@ object SparkEntry {
       """SELECT i AS media_id, f AS frame_idx
          FROM range(0, 2000) t(i), unnest(range(0, 8 + i % 4, 3)) u(f)
          WHERE i % 3 = 2 ORDER BY media_id, frame_idx""",
+    // image dims/sizes halved and re-derived from the BMP layout closed
+    // form; audio/video rows pass through with q38's formulas
+    "q62_multimodal_resize" ->
+      """SELECT i AS media_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE i % 3 WHEN 0 THEN (32 + (i % 7) * 16) // 2
+                      WHEN 1 THEN (32 + (i % 7) * 16) * (32 + (i % 5) * 16)
+                      ELSE 32 + (i % 7) * 16 END AS width,
+           CASE i % 3 WHEN 0 THEN (32 + (i % 5) * 16) // 2
+                      WHEN 1 THEN 1 ELSE 32 + (i % 5) * 16 END AS height,
+           CASE i % 3
+             WHEN 0 THEN 54 + ((32 + (i % 5) * 16) // 2)
+                           * (((32 + (i % 7) * 16) // 2 * 3 + 3) // 4 * 4)
+             WHEN 1 THEN 44 + 2 * (32 + (i % 7) * 16) * (32 + (i % 5) * 16)
+             ELSE 37 + length(CAST(32 + (i % 7) * 16 AS VARCHAR))
+                     + length(CAST(32 + (i % 5) * 16 AS VARCHAR))
+                     + (8 + i % 4) * (6 + (32 + (i % 7) * 16) * (32 + (i % 5) * 16) * 3 // 2)
+           END AS bytes_len
+         FROM range(0, 2000) t(i) ORDER BY media_id""",
     "q40_search_fresh" ->
       s"""SELECT doc_id FROM documents
           WHERE ${ww("order")} AND ${ww("batch")}

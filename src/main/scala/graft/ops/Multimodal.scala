@@ -56,17 +56,59 @@ object Multimodal {
     private def ascii(p: Array[Byte], off: Int, len: Int): String =
       new String(p, off, len, "US-ASCII")
 
-    /** 24bpp bottom-up BMP; rows padded to 4 bytes (file = 54 + h*rowSize). */
-    def encodeBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+    /** 24bpp bottom-up BMP container around `data` (rows padded to 4
+      * bytes; data.length must equal h*rowSize; file = 54 + h*rowSize).
+      */
+    def bmpContainer(w: Int, h: Int, data: Array[Byte]): Array[Byte] = {
       val rowSize = (w * 3 + 3) / 4 * 4
       val dataSize = rowSize * h
+      require(data.length == dataSize, s"bmp data ${data.length} != $dataSize")
       val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
       bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
         .putInt(0).putInt(54)
       bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
         .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
-      bb.put(lcgFill(dataSize, seed))
+      bb.put(data)
       bb.array()
+    }
+
+    /** 24bpp bottom-up BMP; rows padded to 4 bytes (file = 54 + h*rowSize). */
+    def encodeBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val rowSize = (w * 3 + 3) / 4 * 4
+      bmpContainer(w, h, lcgFill(rowSize * h, seed))
+    }
+
+    /** Nearest-neighbor integer-factor downsample of a 24bpp BMP,
+      * re-encoded as a REAL BMP: output pixel (x, y) (image coordinates,
+      * top-left origin) = input pixel (x*k, y*k). Dimensions must divide
+      * by `k` (the generator's grid does for k in {2, 4}); output row
+      * padding is zeroed (padding bytes are outside the pixel contract).
+      */
+    def resizeBmp(p: Array[Byte], k: Int): Array[Byte] = {
+      val d = decodeBmp(p)
+      val w = d.width; val h = d.height
+      require(w % k == 0 && h % k == 0, s"dims ${w}x$h not divisible by $k")
+      val w2 = w / k; val h2 = h / k
+      val rowOld = (w * 3 + 3) / 4 * 4
+      val rowNew = (w2 * 3 + 3) / 4 * 4
+      val out = new Array[Byte](rowNew * h2)
+      var y2 = 0
+      while (y2 < h2) {
+        // bottom-up storage: image row y lives at stored row (h-1-y)
+        val srcRow = (h - 1 - y2 * k) * rowOld
+        val dstRow = (h2 - 1 - y2) * rowNew
+        var x2 = 0
+        while (x2 < w2) {
+          val so = srcRow + x2 * k * 3
+          val dst = dstRow + x2 * 3
+          out(dst) = d.body(so)
+          out(dst + 1) = d.body(so + 1)
+          out(dst + 2) = d.body(so + 2)
+          x2 += 1
+        }
+        y2 += 1
+      }
+      bmpContainer(w2, h2, out)
     }
 
     /** RIFF/WAVE PCM, 16-bit mono, 8 kHz (file = 44 + 2*nSamples). */
@@ -225,6 +267,27 @@ object Multimodal {
         MediaFeatures(r.media_id, d.kind, d.width, d.height, d.nFrames,
           r.payload.length,
           if (d.body.length == 0) 0.0 else sum.toDouble / d.body.length, hist)
+      }
+    }
+  }
+
+  /** Batched image resize — the decode → nearest-neighbor downsample →
+    * re-encode stage of a multimodal ingest pipeline: image rows come out
+    * as REAL re-encoded BMPs at (w/k, h/k) (decodable by [[MediaCodec]] —
+    * q62 proves it by round-tripping the resized bytes through
+    * [[extractFeatures]]); audio/video rows pass through untouched. Same
+    * batched per-partition kernel shape as [[extractFeatures]]: one
+    * mapPartitions, no shuffle, payload bytes never leave their partition.
+    */
+  def resizeImages(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind == "image") {
+          val p2 = MediaCodec.resizeBmp(r.payload, factor)
+          r.copy(width = r.width / factor, height = r.height / factor,
+            payload = p2)
+        } else r
       }
     }
   }

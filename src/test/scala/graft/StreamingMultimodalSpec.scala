@@ -164,4 +164,37 @@ class StreamingMultimodalSpec extends SparkSuite {
     val balanced = Multimodal.balanceBySize(media.toDF(), largeBytes = 2000, partitions = 8)
     assert(balanced.count() == 60)
   }
+
+  test("resizeBmp: pixel-exact nearest-neighbor downsample, real re-encode") {
+    import Multimodal.MediaCodec
+    val k = 2
+    val p = MediaCodec.encodeBmp(48, 32, seed = 7)
+    val p2 = MediaCodec.resizeBmp(p, k)
+    val src = MediaCodec.decode(p)
+    val dst = MediaCodec.decode(p2) // the resized bytes are a valid BMP
+    assert(dst.width == 24 && dst.height == 16)
+    val rowOld = (48 * 3 + 3) / 4 * 4
+    val rowNew = (24 * 3 + 3) / 4 * 4
+    // output image pixel (x,y) == input image pixel (x*k, y*k); storage
+    // is bottom-up, so image row y lives at stored row (h-1-y)
+    for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3) {
+      val s = src.body((32 - 1 - y * k) * rowOld + x * k * 3 + c)
+      val d = dst.body((16 - 1 - y) * rowNew + x * 3 + c)
+      assert(d == s, s"pixel ($x,$y) channel $c")
+    }
+    intercept[IllegalArgumentException](MediaCodec.resizeBmp(p, 5))
+
+    // the Dataset op: images shrink and re-decode; audio/video untouched
+    val media = Multimodal.generate(spark, 30, partitions = 2)
+    val resized = Multimodal.resizeImages(media, 2).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      if (r.kind == "image") {
+        assert(r.width == o.width / 2 && r.height == o.height / 2)
+        val d = MediaCodec.decode(r.payload)
+        assert(d.width == r.width && d.height == r.height)
+      } else assert(r.payload.sameElements(o.payload))
+    }
+  }
 }
