@@ -38,7 +38,9 @@ object Dedup {
     * is the aggregation/join key, raw line text never shuffles. The
     * keeper per digest is one min-aggregation over the composite integer
     * key doc_id * 2^20 + idx (line index < 2^20 — larger docs would be
-    * length-gated far earlier in a real pipeline); non-keeper occurrences
+    * length-gated far earlier in a real pipeline — and doc_id < 2^43,
+    * which holds with an order of magnitude to spare at the 10^12-doc
+    * target); non-keeper occurrences
     * collapse to bounded per-doc removal-index arrays, and the corpus
     * text shuffles exactly once through a SHUFFLE_HASH probe of that
     * small side with an in-row indexed filter — the same trim shape as
@@ -242,9 +244,13 @@ object Dedup {
     var lab = e.select(col("v")).distinct().withColumn("l", col("v")).persist()
     // (vertex count, label sum): labels only decrease, so an unchanged
     // fingerprint == no label changed (sum is null only on an empty graph)
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("l"))).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // decimal(38,0) sum: at 10^12-doc id magnitudes a LongType label sum
+    // can silently wrap, and a wrap of exactly 2^64 between rounds would
+    // fake convergence — decimal keeps the monotone-decrease argument exact
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("l").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     var fp = fingerprint(lab)
     var rounds = 0

@@ -345,8 +345,10 @@ object TextOps {
     * explode) so text never shuffles; the only wide ops are a
     * shard-partitioned running-sum window over narrow (doc_id, dl) rows
     * and a (shard, seq_id)-keyed partial agg. Each doc explodes to at most
-    * dl/ctxLen + 1 narrow span rows. Entirely integer arithmetic —
-    * bit-stable across runs, partitionings and engines.
+    * dl/ctxLen + 1 narrow span rows. `nShards` bounds the window
+    * parallelism — set it to ~the cluster's task slots (tests use 4; a
+    * 1000-executor run would use thousands). Entirely integer
+    * arithmetic — bit-stable across runs, partitionings and engines.
     */
   def packSequences(docs: DataFrame, ctxLen: Int, nShards: Int): DataFrame = {
     val d = withWords(docs).select(
