@@ -382,14 +382,21 @@ object TextOps {
     * like the real fastText pass in a production pipeline.
     * `keep` = score >= 0.
     */
+  /** The scorer itself, over the `arr` word-array column — exposed as a
+    * Column so it composes with Structured Streaming (the batch op below
+    * ends in an orderBy, which streaming plans reject; a streaming
+    * quality gate is `stream.withColumn("arr", wordsCol)
+    * .where(modelScoreCol >= 0)` — stateless, so it needs no watermark).
+    */
+  val modelScoreCol: Column =
+    expr("""aggregate(arr, 0L, (acc, w) ->
+             acc + (aggregate(transform(sequence(1, length(w)), i ->
+                      CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+                    0L, (a, c) -> (a * 131 + c) % 1000000007) % 2001 - 1000))
+         """)
+
   def hashedQualityScore(docs: DataFrame): DataFrame =
-    withWords(docs).select(
-      col("doc_id"),
-      expr("""aggregate(arr, 0L, (acc, w) ->
-               acc + (aggregate(transform(sequence(1, length(w)), i ->
-                        CAST(ascii(substring(w, i, 1)) AS BIGINT)),
-                      0L, (a, c) -> (a * 131 + c) % 1000000007) % 2001 - 1000))
-           """).as("model_score"))
+    withWords(docs).select(col("doc_id"), modelScoreCol.as("model_score"))
       .select(col("doc_id"), col("model_score"),
         when(col("model_score") >= 0, 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")

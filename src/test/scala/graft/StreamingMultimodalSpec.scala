@@ -165,6 +165,32 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(balanced.count() == 60)
   }
 
+  test("streaming quality gate: modelScoreCol filters a stream, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon"),
+      (2L, "zeta eta theta iota"), (3L, ""), (4L, "kappa"),
+      (5L, "lambda mu nu xi omicron"))
+    // batch truth from the op itself
+    val keepBatch = graft.ops.TextOps.hashedQualityScore(
+        docs.toDF("doc_id", "text")).where($"keep" === 1L)
+      .select($"doc_id").as[Long].collect().toSet
+    // the same gate as a stateless streaming filter (no orderBy, no state)
+    val mem = MemoryStream[(Long, String)]
+    val gated = mem.toDF().toDF("doc_id", "text")
+      .withColumn("arr", graft.ops.TextOps.wordsCol)
+      .where(graft.ops.TextOps.modelScoreCol >= 0)
+      .select($"doc_id")
+    val q = gated.writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("quality_out").as[Long].collect().toSet
+      assert(got == keepBatch)
+      assert(got.nonEmpty && got.size < docs.size) // the gate actually cuts
+    } finally q.stop()
+  }
+
   test("resizeBmp: pixel-exact nearest-neighbor downsample, real re-encode") {
     import Multimodal.MediaCodec
     val k = 2
