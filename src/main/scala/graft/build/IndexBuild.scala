@@ -169,15 +169,17 @@ object IndexBuild {
     chunk_text: String, explicit_grams: Array[Int] = null)
 
   /** Chunk one document for the build scratch: dl/n_grams are computed
-    * (tokenization runs) but the arrays are not carried — `docLength`
-    * skips `termFreqs`' sort entirely.
+    * (tokenization runs) but the arrays are not carried — `docLength` is an
+    * allocation-free run count and `gramCount` a bitset count (no term
+    * strings, no gram array: this stage only needs the NUMBERS; the full
+    * arrays are re-derived where consumed, in the posting stages).
     */
   def chunkDocMeta(url: String, warcTs: Timestamp, lang: String, docpart: Int,
                    text: String, chunkMode: String): Seq[ChunkMeta] = {
     chunksOf(text, chunkMode).zipWithIndex.map { case (c, seq) =>
       ChunkMeta(url, warcTs, lang, docpart, seq, c.line, c.runeOff, c.runeLen,
         c.byteStart, c.byteLen, Tokenizer.docLength(c.text),
-        Gram.gramsSorted(partial = false, Seq(c.text)).length, c.text)
+        Gram.gramCount(partial = false, Seq(c.text)), c.text)
     }
   }
 
@@ -576,9 +578,11 @@ object IndexBuild {
           // occurrence. Size-capped so task memory stays bounded on
           // arbitrary vocabularies.
           val memo = new java.util.HashMap[String, Integer](1 << 12)
+          // per-PARTITION slice workspace: one buffer per bucket, cleared
+          // after each chunk (a fresh HashMap + buffers per chunk was the
+          // slicer's dominant allocation — it runs once per chunk row)
+          val bufs = new Array[scala.collection.mutable.ArrayBuffer[TermFreq]](nBuckets)
           rows.flatMap { case (range, docId, dl, tfs) =>
-            val byBucket = new java.util.HashMap[Int,
-              scala.collection.mutable.ArrayBuffer[TermFreq]]()
             tfs.foreach { tf =>
               val bkt = {
                 var b = memo.get(tf.t)
@@ -589,19 +593,23 @@ object IndexBuild {
                 b.intValue
               }
               if (missingSet.contains(bkt)) {
-                var buf = byBucket.get(bkt)
+                var buf = bufs(bkt)
                 if (buf == null) {
                   buf = new scala.collection.mutable.ArrayBuffer[TermFreq](8)
-                  byBucket.put(bkt, buf)
+                  bufs(bkt) = buf
                 }
                 buf += tf
               }
             }
-            val out = new scala.collection.mutable.ArrayBuffer[TermSlice](byBucket.size)
-            val e = byBucket.entrySet().iterator()
-            while (e.hasNext) {
-              val ent = e.next()
-              out += TermSlice(ent.getKey, range, docId, dl, ent.getValue.toArray)
+            val out = new scala.collection.mutable.ArrayBuffer[TermSlice](8)
+            var bkt = 0
+            while (bkt < nBuckets) {
+              val buf = bufs(bkt)
+              if (buf != null && buf.nonEmpty) {
+                out += TermSlice(bkt, range, docId, dl, buf.toArray)
+                buf.clear()
+              }
+              bkt += 1
             }
             out
           }

@@ -51,8 +51,25 @@ object Tokenizer {
     out.toArray
   }
 
-  /** Document length = total term count (BM25 `dl`). */
-  def docLength(text: String): Int = terms(text).length
+  /** Document length = total term count (BM25 `dl`). Pure run-count scan —
+    * a term is a maximal gram-char run, so the count needs no string
+    * allocation at all (the previous `terms(text).length` built every term
+    * string just to count them; this is the index build's per-chunk stats
+    * pass, so the allocation was pure overhead).
+    */
+  def docLength(text: String): Int = {
+    val n = text.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      while (i < n && !Gram.isGramChar(text.charAt(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && Gram.isGramChar(text.charAt(i))) i += 1
+      }
+    }
+    count
+  }
 
   /** The reference's exact-match verifier (fts-lmdb.go:1299-1311):
     * case-insensitive substring scan with word-boundary checks on both ends

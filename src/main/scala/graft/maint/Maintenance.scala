@@ -47,6 +47,15 @@ object Maintenance {
   private val UpdateStages = Seq("upd_stats", "upd_postings_terms",
     "upd_postings_grams", "upd_dict", "upd_docs")
 
+  /** Target delta chunks per shuffle partition for [[update]]'s adaptive
+    * partition count — ~the full build's measured rows-per-partition
+    * density (720k chunks / 64 partitions ≈ 11k at the bench scale), so an
+    * update that ingests a full-corpus-sized delta converges to the same
+    * layout the build uses, while a 1% changelog batch runs in a handful
+    * of tasks instead of `shufflePartitions` mostly-empty ones.
+    */
+  final val UpdateChunksPerPartition = 12000L
+
   /** Tombstone rows (url, warc_ts, doc_id): one row per doc of every stale
     * VERSION of a group. Doc ids are recorded at tombstone time so queries
     * never re-scan the docs store to resolve them.
@@ -374,19 +383,29 @@ object Maintenance {
       nDeltaChunks
     }
 
-    // 4. append delta posting segments (both families) + docs store rows
-    val (withIds, cleanup) = IndexBuild.assignIds(spark, deltaChunks, base, cfg)
+    // 4. append delta posting segments (both families) + docs store rows.
+    // SCALE-ADAPTIVE shuffle partitioning (not the full-build constant): a
+    // changelog delta is usually a tiny fraction of the corpus, and pushing
+    // its few thousand rows through the full build's partition count pays
+    // ~cfg.shufflePartitions empty-task overheads per stage. Derive the
+    // count from the measured delta size (target ~the full build's
+    // rows-per-partition density), capped at the configured value so a
+    // full-corpus "delta" still gets full parallelism on a cluster.
+    val deltaCfg = cfg.copy(shufflePartitions = math.max(1L, math.min(
+      cfg.shufflePartitions.toLong,
+      (nDeltaChunks + UpdateChunksPerPartition - 1) / UpdateChunksPerPartition)).toInt)
+    val (withIds, cleanup) = IndexBuild.assignIds(spark, deltaChunks, base, deltaCfg)
     val allBuckets = 0 until stats0.nBuckets
     guarded("upd_postings_terms") {
       IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"dl", $"terms"),
-          cfg, stats0, grams = false, allBuckets)
+          deltaCfg, stats0, grams = false, allBuckets)
         .write.mode("append").partitionBy("bucket")
         .parquet(IndexBuild.termPostingsDir(dir))
       nDeltaChunks
     }
     guarded("upd_postings_grams") {
       IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"grams"),
-          cfg, stats0, grams = true, allBuckets)
+          deltaCfg, stats0, grams = true, allBuckets)
         .write.mode("append").partitionBy("bucket")
         .parquet(IndexBuild.gramPostingsDir(dir))
       nDeltaChunks

@@ -47,12 +47,23 @@ object Dedup {
     * [[stripRepeatedSpans]].
     */
   def dedupLinesKeepFirst(docs: DataFrame): DataFrame = {
+    // ENFORCED composite-key bound (was prose-only): a doc with >= 2^20
+    // lines or doc_id >= 2^43 would silently alias keeper keys and break
+    // keep-FIRST ordering — fail fast instead (the jaccardPairs
+    // safe-by-default discipline). The guard is one codegen'd comparison
+    // per line row.
+    val keyOk = col("idx") < lit(1048576) && col("doc_id") < lit(1L << 43)
     val l = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .toDF("doc_id", "idx", "line")
       .where(col("line") =!= "")
       .select(col("doc_id"), col("idx"),
-        (col("doc_id") * 1048576 + col("idx")).as("k"), md5(col("line")).as("h"))
+        when(keyOk, col("doc_id") * 1048576 + col("idx"))
+          .otherwise(raise_error(concat(
+            lit("dedupLinesKeepFirst: composite key out of range (need "),
+            lit("line idx < 2^20 and doc_id < 2^43): doc_id="), col("doc_id"),
+            lit(" idx="), col("idx")))).as("k"),
+        md5(col("line")).as("h"))
     val keep = l.groupBy("h").agg(min(col("k")).as("keep_k"))
     val rm = l.join(keep, Seq("h")).where(col("k") =!= col("keep_k"))
       .groupBy("doc_id").agg(collect_set(col("idx")).as("rmi"))
@@ -100,6 +111,13 @@ object Dedup {
     * sum(df^2). This is the 100 TB-safe way to call this operator directly;
     * MinHash+LSH remains the preferred scale path.
     */
+  /** One bounded cache slot for the shingle frames of [[jaccardPairs]] /
+    * [[minhashLshPairs]] (see [[OpCaches]]): each call persists its shingle
+    * table (the returned plan scans it repeatedly) and releases the
+    * previous call's — cached blocks no longer accumulate across calls.
+    */
+  private val shingleSlot = new OpCaches.Slot
+
   def jaccardPairs(docs: DataFrame, thresholdPermille: Int,
                    maxShingleDf: Long = 0L,
                    allowUncapped: Boolean = false): DataFrame = {
@@ -107,7 +125,7 @@ object Dedup {
       "uncapped jaccardPairs is pair-quadratic in hot shingles; pass " +
         "maxShingleDf > 0 (exactness-preserving candidate cap) or opt in " +
         "with allowUncapped = true on a corpus known to be small")
-    val sh = shingles(docs).cache()
+    val sh = shingleSlot.swap(shingles(docs))
     if (maxShingleDf > 0) {
       val cold = sh.join(
         sh.groupBy("s").agg(count(lit(1)).as("sdf"))
@@ -268,8 +286,12 @@ object Dedup {
       fp = nfp
       rounds += 1
     }
-    require(done, s"dupClusters did not converge in $maxRounds rounds " +
-      "(graph diameter exceeds the round cap)")
+    if (!done) { // release BOTH frames before failing (round-5 nit: the
+      e.unpersist(blocking = false) // failure path leaked them)
+      lab.unpersist(blocking = false)
+      require(done, s"dupClusters did not converge in $maxRounds rounds " +
+        "(graph diameter exceeds the round cap)")
+    }
     e.unpersist()
     lab.select(col("v").cast("long").as("doc_id"),
         col("l").cast("long").as("cluster_id"))
@@ -358,9 +380,16 @@ object Dedup {
   val HashB: Seq[Long] = (1 to NumHashes).map(i => i * 7919L)
 
   /** MinHash signatures: (doc_id, sig: array[NumHashes] of long). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs)
-      .withColumn("hv", expr(ShingleHashSql))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesOf(shingles(docs))
+
+  /** [[minhashSignatures]] from a prepared (doc_id, s) shingle frame —
+    * lets [[minhashLshPairs]] share ONE cached shingle table between the
+    * signature pass and the exact-verify pass instead of tokenizing and
+    * shingling the corpus twice.
+    */
+  private def minhashSignaturesOf(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("hv", expr(ShingleHashSql))
     val minCols = (0 until NumHashes).map { i =>
       min(expr(s"(${HashA(i)} * hv + ${HashB(i)}) % $MinHashP")).as(s"m$i")
     }
@@ -373,7 +402,8 @@ object Dedup {
     * is 1.0 on the dataset (the banding only bounds the candidate set).
     */
   def minhashLshPairs(docs: DataFrame, thresholdPermille: Int): DataFrame = {
-    val sig = minhashSignatures(docs)
+    val sh = shingleSlot.swap(shingles(docs))
+    val sig = minhashSignaturesOf(sh)
     val nBands = NumHashes / BandRows
     // ONE pass over the signatures: explode an in-row array of (band, key)
     // structs instead of unioning nBands re-scans of the aggregate
@@ -388,8 +418,9 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    // exact verify on the candidate pairs only
-    verifyJaccard(cands, shingles(docs), thresholdPermille)
+    // exact verify on the candidate pairs only, over the SAME cached
+    // shingle frame the signatures came from (round 5 re-shingled here)
+    verifyJaccard(cands, sh, thresholdPermille)
   }
 
   /** Word hash for SimHash — same fold as shingle hash but over a word. */

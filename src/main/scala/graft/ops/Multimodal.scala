@@ -174,6 +174,11 @@ object Multimodal {
       while (off + 8 <= p.length) {
         val id = ascii(p, off, 4)
         val size = bb.getInt(off + 4)
+        // untrusted-bytes guard: a negative or over-length chunk size would
+        // otherwise make the walk increment zero/negative and loop forever
+        // (decode() is the adversarial-input seam — fail fast instead)
+        require(size >= 0 && off + 8 + size <= p.length,
+          s"bad RIFF chunk '$id' at $off: size $size exceeds payload ${p.length}")
         if (id == "fmt ") {
           channels = bb.getShort(off + 10) & 0xFFFF
           blockAlign = bb.getShort(off + 20) & 0xFFFF

@@ -191,11 +191,19 @@ object TextOps {
     * of the doc_id, mod 1000 — deterministic across runs/retries (no
     * rand()), expressible identically in any SQL engine (unlike xxhash64),
     * and well-dispersed on consecutive ids (measured 249/500 at rate 500
-    * over ids 0..499; a digit-string fold kept only 10). Pure BIGINT
-    * arithmetic: exact for doc_id < 2^63 / 2654435761 ≈ 3.4e9.
+    * over ids 0..499; a digit-string fold kept only 10).
+    *
+    * The doc_id is reduced mod p = 1000000007 BEFORE the multiply, so the
+    * product is bounded by (p-1) * 2654435761 ≈ 2.65e18 < 2^63 — exact
+    * BIGINT arithmetic at ANY doc_id (the pre-reduction form overflowed
+    * silently past doc_id ≈ 3.4e9: wrapped products went negative, a
+    * negative permille is below every rate, and those docs were kept
+    * unconditionally). Congruent mod p with the unreduced form, so every
+    * value below the old overflow bound — including every oracle fixture
+    * id — is unchanged.
     */
   val IdHashPermilleSql: String =
-    "(doc_id * 2654435761) % 1000000007 % 1000"
+    "(doc_id % 1000000007) * 2654435761 % 1000000007 % 1000"
 
   /** Deterministic stratified corpus sampling — the data-mixing primitive
     * a training pipeline uses to hit per-language (or per-quality-bucket)
@@ -353,7 +361,8 @@ object TextOps {
   def packSequences(docs: DataFrame, ctxLen: Int, nShards: Int): DataFrame = {
     val d = withWords(docs).select(
         col("doc_id"),
-        expr(s"(doc_id * 2654435761) % 1000000007 % $nShards").as("shard"),
+        // same overflow-proof reduce-first form as [[IdHashPermilleSql]]
+        expr(s"(doc_id % 1000000007) * 2654435761 % 1000000007 % $nShards").as("shard"),
         size(col("arr")).cast("long").as("dl"))
       .where(col("dl") > 0)
     val w = Window.partitionBy("shard").orderBy("doc_id")
@@ -414,13 +423,26 @@ object TextOps {
     * broadcast hash join, so the corpus shuffles once, as (doc_id, flag)
     * rows, never as text.
     */
+  /** Bounded cache slot for [[vocabCoverage]]'s term-frequency frame (see
+    * [[OpCaches]]): the tf frame feeds both the vocabulary cut and the
+    * scoring pass, so one cached copy replaces round 5's two full
+    * tokenize + explode scans of the corpus.
+    */
+  private val tfSlot = new graft.ops.OpCaches.Slot
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
-    val vocab = tokens(docs).groupBy("term").agg(count(lit(1)).as("cf"))
+    // ONE tokenize pass: (doc_id, term, f) is computed once and cached;
+    // cf = sum(f) per term and the per-doc token totals are both exact
+    // re-aggregations of it (identical values to the round-5 double-scan).
+    val tf = tfSlot.swap(tokens(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("f")))
+    val vocab = tf.groupBy("term").agg(sum(col("f")).as("cf"))
       .orderBy(col("cf").desc, col("term")).limit(vocabSize)
       .select(col("term"), lit(1).as("iv"))
-    tokens(docs).join(broadcast(vocab), Seq("term"), "left")
+    tf.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), count(col("iv")).as("in_vocab"))
+      .agg(sum(col("f")).as("n_tokens"),
+        coalesce(sum(when(col("iv").isNotNull, col("f"))), lit(0L)).as("in_vocab"))
       .select(col("doc_id"), col("n_tokens"),
         expr("(n_tokens - in_vocab) * 1000 div n_tokens").as("oov_permille"))
       .orderBy("doc_id")

@@ -99,15 +99,35 @@ class Search(spark: SparkSession, dir: String,
   private def termBucket(t: String): Int =
     IndexBuild.termBucket(t, stats.nBuckets)
 
+  /** Size-gated driver cache of the whole term dictionary: below
+    * [[Search.MaxInlineDictTerms]] rows (a parquet-footer count, no data
+    * read) the (term, df) map is collected once per Search instance and
+    * every query's dictionary slice is a driver map probe instead of a
+    * Spark job — the same bounded-collect discipline as [[gramDict]] /
+    * [[tombstonedIds]]. Above the gate (web-scale vocabularies) the cache
+    * stays empty and [[dictLookup]] falls back to the pruned per-query
+    * scan. Bound to the index state at construction, like `stats`.
+    */
+  private lazy val inlineDict: Option[Map[String, Long]] = {
+    val d = spark.read.parquet(IndexBuild.dictDir(dir))
+    if (d.count() > Search.MaxInlineDictTerms) None
+    else Some(d.select($"term", $"df".cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   /** Dictionary lookup for query terms (term -> df). Tiny collect: the
     * north rule's "broadcast dictionary" slice for this query.
     */
   def dictLookup(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty
-    spark.read.parquet(IndexBuild.dictDir(dir))
-      .where($"term".isin(terms: _*))
-      .select($"term", $"df".cast("long"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inlineDict match {
+      case Some(m) => terms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
+      case None =>
+        spark.read.parquet(IndexBuild.dictDir(dir))
+          .where($"term".isin(terms: _*))
+          .select($"term", $"df".cast("long"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
   }
 
   /** The whole gram dictionary, cached driver-side: it is bounded by the
@@ -525,11 +545,18 @@ class Search(spark: SparkSession, dir: String,
       // instead. The scratch lives INSIDE the index dir: that is shared
       // storage by construction (every executor reads/writes it), whereas
       // a driver-local temp path would shred across executor-local disks
-      // on a real cluster. One fixed path, overwritten per call — zero
-      // accumulation; concurrent above-gate searchFresh calls against the
-      // SAME index would race it, matching the engine's existing
-      // one-writer-per-index maintenance assumption.
-      val scratch = s"$dir/badurls_scratch"
+      // on a real cluster. The path is UNIQUE PER CALL (a process-wide
+      // counter + a random session token), so an earlier call's
+      // still-unevaluated result can never silently read a later call's
+      // bad-url set or hit a missing file — the fixed-path overwrite bug.
+      // Scratch files are one tiny url list each; they are removed with the
+      // index dir (delete/compact/rebuild), and a caller that keeps an
+      // index for years can clear `badurls_scratch_*` whenever no returned
+      // frame is still live. Note the write also means searchFresh's
+      // above-gate shape requires a WRITABLE index dir — the documented
+      // trade-off for not pinning cached blocks.
+      val scratch = s"$dir/badurls_scratch_${Search.scratchToken}_" +
+        s"${Search.scratchCounter.incrementAndGet()}"
       bad.select("url").write.mode("overwrite").parquet(scratch)
       bad.unpersist()
       hits.join(spark.read.parquet(scratch), Seq("url"), "left_anti")
@@ -666,6 +693,21 @@ object Search {
     * a hot-term candidate list must never be collected to the driver.
     */
   final val DefaultMaxInlineCandidates = 100000
+
+  /** Per-call scratch-path uniqueness for [[Search.searchFresh]]'s
+    * above-gate bad-url set: a random per-process token (two concurrent
+    * driver processes must not collide) plus a monotone counter.
+    */
+  private[query] val scratchToken: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong())
+  private[query] val scratchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Term dictionaries up to this many rows are collected once per Search
+    * instance and probed driver-side per query (~40 B/entry: ≤ ~20 MB at
+    * the gate); above it every query runs the pruned dictionary scan —
+    * a web-scale vocabulary must never be collected to the driver.
+    */
+  final val MaxInlineDictTerms = 500000L
 
   /** Tombstone sets up to this size ship as an exact driver-collected set
     * in kernel closures (16 MB of longs at the limit); above it dead ids

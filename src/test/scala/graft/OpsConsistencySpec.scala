@@ -335,4 +335,68 @@ class OpsConsistencySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(got == List((0L, 4L, 250L), (1L, 4L, 250L), (2L, 3L, 1000L)))
   }
+
+  test("IdHashPermilleSql: permille in [0,1000) and rate respected past the old 3.4e9 overflow bound") {
+    // ids seeded at +10^12 (the north-rule doc-id magnitude): the round-5
+    // form overflowed Long here, went negative, and kept every doc at ANY
+    // rate. The reduce-first form must (a) stay in [0,1000), (b) agree with
+    // exact BigInt arithmetic, (c) actually sample.
+    val base = 1000000000000L
+    val ids = (0 until 500).map(i => base + i * 2654435761L % 99991L)
+    val df2 = ids.map(i => (i, "en", s"doc $i text")).toDF("doc_id", "lang", "text")
+    val perm = df2.select($"doc_id",
+        expr(TextOps.IdHashPermilleSql).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = ((BigInt(id) % 1000000007L) * 2654435761L % 1000000007L % 1000L).toLong
+      assert(perm(id) == want, s"id=$id")
+      assert(perm(id) >= 0 && perm(id) < 1000, s"id=$id -> ${perm(id)}")
+    }
+    val rates = Seq(("en", 500)).toDF("lang", "rate_permille")
+    val kept = TextOps.stratifiedSample(df2, rates).collect().map(_.getLong(0)).toSet
+    val wantKept = ids.filter(id => perm(id) < 500).toSet
+    assert(kept == wantKept)
+    assert(kept.nonEmpty && kept.size < ids.size, // a real sample, not all-kept
+      s"kept ${kept.size}/${ids.size}")
+    assert(TextOps.stratifiedSample(df2,
+      Seq(("en", 0)).toDF("lang", "rate_permille")).count() == 0)
+    // packSequences' shard hash shares the same reduce-first form: shards
+    // must be non-negative at huge ids (round 5 emitted negative shards)
+    val shards = TextOps.packSequences(df2, ctxLen = 8, nShards = 4)
+      .select($"shard").distinct().collect().map(_.getLong(0))
+    assert(shards.nonEmpty && shards.forall(s => s >= 0 && s < 4))
+  }
+
+  test("shingle/tf caches are bounded across repeated op calls (no leak)") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    // relative bound (the suite session is shared): 12 op calls may leave
+    // at most one live cached frame per slot (shingles + tf) beyond
+    // whatever was already cached; round 5 accumulated one per
+    // jaccardPairs/minhashLshPairs call (would be +8 here)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 4).foreach { _ =>
+      Dedup.jaccardPairs(docs, 400, maxShingleDf = 8).count()
+      Dedup.minhashLshPairs(docs, 400).count()
+      TextOps.vocabCoverage(docs, 3).count()
+    }
+    val grown = spark.sparkContext.getPersistentRDDs.size - before
+    assert(grown <= 2, s"expected <= 2 new live cached frames, found $grown")
+  }
+
+  test("dedupLinesKeepFirst enforces its composite-key bound (fail fast, not aliasing)") {
+    val over = (0L until 3L).map(i => (i, "ln a\nln b")).toDF("doc_id", "text")
+      .union(Seq(((1L << 43) + 5L, "ln a\nln b")).toDF("doc_id", "text"))
+    val e = intercept[Exception] { Dedup.dedupLinesKeepFirst(over).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("composite key out of range")), e.toString)
+    // in-bound docs still dedup normally
+    val ok = Seq((0L, "x\ny"), (1L, "x\nz")).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesKeepFirst(ok).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got == List((0L, "x\ny"), (1L, "z")))
+  }
 }

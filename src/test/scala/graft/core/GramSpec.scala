@@ -96,6 +96,24 @@ class GramSpec extends AnyFunSuite {
       Gram.grams(partial = false, Seq("one", "two")).toSeq.sorted)
   }
 
+  test("property: gramCount == gramsSorted.length (count-only stats path)") {
+    val r = new Random(29)
+    (1 to 300).foreach { _ =>
+      val s = randText(r)
+      for (partial <- Seq(false, true)) {
+        assert(Gram.gramCount(partial, Seq(s)) ==
+          Gram.gramsSorted(partial, Seq(s)).length, s"partial=$partial s='$s'")
+        // workspace must come back clean: a second call on the same thread
+        // sees the same counts
+        assert(Gram.gramCount(partial, Seq(s)) ==
+          Gram.gramsSorted(partial, Seq(s)).length, s"repeat s='$s'")
+      }
+    }
+    assert(Gram.gramCount(partial = false, Seq("one", "two")) ==
+      Gram.gramsSorted(partial = false, Seq("one", "two")).length)
+    assert(Gram.gramCount(partial = false, Seq("")) == 0)
+  }
+
   test("non-ASCII code points act as separators") {
     assert(Gram.grams(partial = false, Seq("añb")) ==
       Gram.grams(partial = false, Seq("a b")))

@@ -15,6 +15,19 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.docLength("a b a B c") == 5)
   }
 
+  test("property: run-count docLength == terms(text).length") {
+    val r = new java.util.Random(41)
+    val alphabet = "ab1 .,-\nXñ😀"
+    (1 to 300).foreach { _ =>
+      val s = (0 until r.nextInt(40))
+        .map(_ => alphabet.charAt(r.nextInt(alphabet.length))).mkString
+      assert(Tokenizer.docLength(s) == Tokenizer.terms(s).length, s"s='$s'")
+    }
+    assert(Tokenizer.docLength("") == 0)
+    assert(Tokenizer.docLength("...") == 0)
+    assert(Tokenizer.docLength("a") == 1)
+  }
+
   test("firstWordBoundaryMatch: whole-word semantics (fts-lmdb.go:1299-1311)") {
     assert(Tokenizer.firstWordBoundaryMatch("one two three", "two", partial = false) == 4)
     assert(Tokenizer.firstWordBoundaryMatch("onetwo three", "two", partial = false) == -1)
