@@ -183,6 +183,26 @@ object IndexBuild {
     }
   }
 
+  /** Run independent driver-side jobs concurrently (optimization guide
+    * §2.6: Spark's scheduler happily runs several jobs at once; actions are
+    * only sequential because driver code calls them sequentially — the
+    * second job's tasks back-fill executors freed by the first job's tail).
+    * Exceptions from any branch propagate; all branches are joined before
+    * returning either way, so crash/resume semantics per branch are
+    * unchanged (each stage still commits its own manifest entry after its
+    * own job completes).
+    */
+  private[graft] def inParallel(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = fs.tail.map { f =>
+      val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    try fs.head() catch { case e: Throwable => errs.add(e) }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   def build(spark: SparkSession, docs: DataFrame, dir: String,
             cfg: Config = Config()): BuildStats = {
     spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes.toString)
@@ -193,8 +213,16 @@ object IndexBuild {
     // the posting stages read the docs store (doc ids already stamped, no
     // url-base join) and re-derive token arrays from chunk text
     stageCleanup(spark, dir)
-    val resumedTerm = stagePostings(spark, dir, cfg, stats, grams = false)
-    stagePostings(spark, dir, cfg, stats, grams = true)
+    // term + gram posting builds are independent (separate scans, separate
+    // shuffles, separate output dirs, separate manifest stages) — OVERLAP
+    // them so each one's kernel-stage stragglers back-fill with the other's
+    // tasks instead of idling the cluster (guide §2.6). Trade-off at scale:
+    // both families' shuffles are in flight at once (2x transient shuffle
+    // disk); kernel memory bounds are per-task and unchanged.
+    var resumedTerm = 0
+    inParallel(
+      () => resumedTerm = stagePostings(spark, dir, cfg, stats, grams = false),
+      () => stagePostings(spark, dir, cfg, stats, grams = true))
     stageDictionary(spark, dir)
     BuildStats(stats.nDocs, cfg.docParts, cfg.nBuckets, cfg.nBuckets,
       resumedChunks, resumedTerm)
@@ -751,18 +779,25 @@ object IndexBuild {
     import spark.implicits._
     if (Manifest.completed(dir, "dictionary")("all")) return
     val t0 = System.nanoTime()
-    val seg = spark.read.parquet(termPostingsDir(dir))
-      .groupBy($"key".as("term"))
-      .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"), max($"max_tf").as("max_tf"))
     val obs = org.apache.spark.sql.Observation()
-    seg.repartitionByRange(8, $"term").sortWithinPartitions("term")
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(dictDir(dir))
-    val gseg = spark.read.parquet(gramPostingsDir(dir))
-      .groupBy(substring($"key", 2, 10).cast("int").as("gram"))
-      .agg(sum($"n_docs").as("df"))
-    gseg.repartitionByRange(8, $"gram").sortWithinPartitions("gram")
-      .write.mode("overwrite").parquet(gramDictDir(dir))
+    // term and gram dictionaries aggregate DIFFERENT posting tables into
+    // DIFFERENT output dirs — run the two write jobs concurrently (§2.6)
+    inParallel(
+      () => {
+        val seg = spark.read.parquet(termPostingsDir(dir))
+          .groupBy($"key".as("term"))
+          .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"), max($"max_tf").as("max_tf"))
+        seg.repartitionByRange(8, $"term").sortWithinPartitions("term")
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(dictDir(dir))
+      },
+      () => {
+        val gseg = spark.read.parquet(gramPostingsDir(dir))
+          .groupBy(substring($"key", 2, 10).cast("int").as("gram"))
+          .agg(sum($"n_docs").as("df"))
+        gseg.repartitionByRange(8, $"gram").sortWithinPartitions("gram")
+          .write.mode("overwrite").parquet(gramDictDir(dir))
+      })
     val n = obs.get("n").asInstanceOf[Long]
     Manifest.append(dir, Manifest.Entry("dictionary", "all", n, 0L, "",
       (System.nanoTime() - t0) / 1000000))

@@ -38,7 +38,10 @@ object Manifest {
 
   private def path(indexDir: String) = Paths.get(indexDir, "manifest.jsonl")
 
-  def append(indexDir: String, e: Entry): Unit = {
+  def append(indexDir: String, e: Entry): Unit = this.synchronized {
+    // synchronized: independent stages may now commit from concurrent
+    // driver threads (overlapped posting/dictionary jobs); each entry is a
+    // single O_APPEND write, the lock just makes the ordering explicit
     Files.createDirectories(Paths.get(indexDir))
     val line = s"""{"stage":"${e.stage}","unit":"${e.unit}","rows":${e.rows},""" +
       s""""bytes":${e.bytes},"watermark":"${e.watermark}","wall_ms":${e.wallMs},""" +

@@ -104,9 +104,18 @@ object Maintenance {
     * Idempotent: re-running tombstones nothing new (anti-join on doc_id).
     */
   private def tombstoneDocsOf(spark: SparkSession, dir: String,
-                              urls: DataFrame): Long = {
+                              urls: DataFrame): Long =
+    tombstoneRows(spark, dir, docsOfUrls(spark, dir, urls)
+      .select(col("url"), col("warc_ts"), col("doc_id")))
+
+  /** [[tombstoneDocsOf]] over an already-resolved (url, warc_ts, doc_id)
+    * frame — lets [[update]] reuse its diff pass's docpart-pruned batch
+    * scan instead of scanning the docs store a second time.
+    */
+  private def tombstoneRows(spark: SparkSession, dir: String,
+                            docRows: DataFrame): Long = {
     val existing = tombstones(spark, dir)
-    val rows = docsOfUrls(spark, dir, urls)
+    val rows = docRows
       .select(col("url"), col("warc_ts"), col("doc_id"))
       .join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("url"), col("warc_ts"), col("doc_id"))
@@ -273,7 +282,12 @@ object Maintenance {
     */
   private def diffVersions(spark: SparkSession, dir: String, newDocs: DataFrame,
                            cfg: IndexBuild.Config,
-                           partialSnapshot: Boolean): DataFrame = {
+                           partialSnapshot: Boolean,
+                           /** partial mode: a prepared (url, warc_ts,
+                             * doc_id) frame of the batch urls' doc rows —
+                             * [[update]] caches ONE docpart-pruned scan and
+                             * shares it with the tombstone pass. */
+                           batchRows: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val incoming = newDocs
       .select($"url".as("n_url"), $"warc_ts".as("n_ts"))
@@ -285,7 +299,8 @@ object Maintenance {
         // changelog batch: only the batch urls' docparts can contain them —
         // one shared docpart-pruned scan (docsOfUrls, which also carries
         // the legacy-docstats unpruned fallback)
-        docsOfUrls(spark, dir, incoming.select($"n_url".as("url")))
+        batchRows.getOrElse(
+            docsOfUrls(spark, dir, incoming.select($"n_url".as("url"))))
           .select($"url", $"warc_ts")
     // one row per url: the group's current version is its newest live
     // timestamp (addChunk can add rows under a newer ts without making a
@@ -311,36 +326,59 @@ object Maintenance {
              cfg: IndexBuild.Config,
              partialSnapshot: Boolean = false): (Long, Long, Long) = {
     import spark.implicits._
-    val diff = diffVersions(spark, dir, newDocs, cfg, partialSnapshot).cache()
-    // one job for all three action counts (not three filtered .count()s)
-    val actionCounts = diff.groupBy($"action").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nDeleted = actionCounts.getOrElse("deleted", 0L)
-    val nNew = actionCounts.getOrElse("added", 0L)
-    val nChanged = actionCounts.getOrElse("changed", 0L)
-    if (nDeleted + nNew + nChanged == 0) { diff.unpersist(); return (0, 0, 0) }
+    // partial mode: ONE cached docpart-pruned scan of the batch urls' doc
+    // rows feeds BOTH the version diff and the stale-row tombstone pass
+    // (round 5 scanned the docs store twice). Bounded by the batch size —
+    // never cached in full-snapshot mode, where it would be the whole
+    // store.
+    val batchRows =
+      if (partialSnapshot)
+        Some(docsOfUrls(spark, dir, newDocs.select("url"))
+          .select(col("url"), col("warc_ts"), col("doc_id")).cache())
+      else None
+    val diff = diffVersions(spark, dir, newDocs, cfg, partialSnapshot,
+      batchRows).cache()
+    // ONE job for the three action counts AND the delta batch key (round 5
+    // ran a groupBy-count job plus a separate bit_xor job; at changelog
+    // scale each driver job is pure latency). bit_xor skips the NULLs the
+    // CASE produces for non-delta rows, so the key is identical to the
+    // round-5 delta-only aggregate.
+    val cRow = diff.agg(
+      count(when($"action" === "deleted", 1)).as("nd"),
+      count(when($"action" === "added", 1)).as("na"),
+      count(when($"action" === "changed", 1)).as("nc"),
+      expr("bit_xor(CASE WHEN action IN ('added','changed') THEN " +
+        "xxhash64(url, CAST(n_ts AS string)) END)").as("h")).head()
+    val nDeleted = cRow.getLong(0)
+    val nNew = cRow.getLong(1)
+    val nChanged = cRow.getLong(2)
+    if (nDeleted + nNew + nChanged == 0) {
+      diff.unpersist(); batchRows.foreach(_.unpersist()); return (0, 0, 0)
+    }
 
     // 1. tombstone every stale version (changed urls' old docs + deleted
     //    urls) — naturally idempotent, no guard needed
-    tombstoneDocsOf(spark, dir,
-      diff.where($"action".isin("changed", "deleted")).select($"url"))
+    val staleUrls = diff.where($"action".isin("changed", "deleted")).select($"url")
+    batchRows match {
+      case Some(rows) =>
+        tombstoneRows(spark, dir, rows.join(staleUrls.distinct(), Seq("url")))
+      case None => tombstoneDocsOf(spark, dir, staleUrls)
+    }
 
     val delta = diff.where($"action".isin("added", "changed"))
       .select($"url", $"n_ts")
+    val deltaCount = nNew + nChanged
+    if (deltaCount == 0) {
+      // deletion-only snapshot: the tombstones above are the whole update
+      // (the bit_xor of an empty delta is NULL — there is no batch to key)
+      diff.unpersist(); batchRows.foreach(_.unpersist())
+      return (0L, 0L, nDeleted)
+    }
     // deterministic batch key over the delta membership (stable across
     // partial-failure re-runs: the chunk store — the diff source — is only
     // appended in the LAST stage). bit_xor, not sum: a sum of 64-bit
     // hashes overflows under ANSI arithmetic on real-size deltas
-    val keyRow = delta
-      .agg(expr("bit_xor(xxhash64(url, CAST(n_ts AS string)))").as("h"),
-        count(lit(1)).as("c")).head()
-    diff.unpersist()
-    if (keyRow.getLong(1) == 0) {
-      // deletion-only snapshot: the tombstones above are the whole update
-      // (the bit_xor of an empty delta is NULL — there is no batch to key)
-      return (0L, 0L, nDeleted)
-    }
-    val deltaKey = java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1)
+    val deltaKey = java.lang.Long.toHexString(cRow.getLong(3)) + "_" + deltaCount
 
     // 2. chunk + tokenize the delta only
     val chunkMode = cfg.chunkMode
@@ -354,6 +392,11 @@ object Maintenance {
       }.toDF().cache()
     val aggRow = deltaChunks.agg(count(lit(1)), sum($"dl".cast("long")),
       max($"warc_ts").cast("string")).head()
+    // the delta is materialized in its own cache now — release the diff
+    // and batch-scan caches (unpersisting earlier would force the
+    // deltaChunks join to recompute the whole diff lineage)
+    diff.unpersist()
+    batchRows.foreach(_.unpersist())
     val nDeltaChunks = aggRow.getLong(0)
     val deltaSumDl = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
     val deltaWm = if (aggRow.isNullAt(2)) "" else aggRow.getString(2)
@@ -391,25 +434,33 @@ object Maintenance {
     // count from the measured delta size (target ~the full build's
     // rows-per-partition density), capped at the configured value so a
     // full-corpus "delta" still gets full parallelism on a cluster.
-    val deltaCfg = cfg.copy(shufflePartitions = math.max(1L, math.min(
-      cfg.shufflePartitions.toLong,
-      (nDeltaChunks + UpdateChunksPerPartition - 1) / UpdateChunksPerPartition)).toInt)
-    val (withIds, cleanup) = IndexBuild.assignIds(spark, deltaChunks, base, deltaCfg)
+    val deltaCfg = cfg.copy(shufflePartitions = math.max(
+      math.min(8L, cfg.shufflePartitions.toLong), // floor: never a serial kernel
+      math.min(cfg.shufflePartitions.toLong,
+        (nDeltaChunks + UpdateChunksPerPartition - 1) / UpdateChunksPerPartition)).toInt)
+    val (withIds0, cleanup) = IndexBuild.assignIds(spark, deltaChunks, base, deltaCfg)
+    // cache the id-stamped delta: three consumers (two posting appends +
+    // the docs append) would otherwise each re-run the sort + url-base join
+    val withIds = withIds0.cache()
     val allBuckets = 0 until stats0.nBuckets
-    guarded("upd_postings_terms") {
-      IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"dl", $"terms"),
-          deltaCfg, stats0, grams = false, allBuckets)
-        .write.mode("append").partitionBy("bucket")
-        .parquet(IndexBuild.termPostingsDir(dir))
-      nDeltaChunks
-    }
-    guarded("upd_postings_grams") {
-      IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"grams"),
-          deltaCfg, stats0, grams = true, allBuckets)
-        .write.mode("append").partitionBy("bucket")
-        .parquet(IndexBuild.gramPostingsDir(dir))
-      nDeltaChunks
-    }
+    // the two posting-family appends are independent jobs over the cached
+    // delta (separate outputs, separate guards) — overlap them (§2.6);
+    // each stage still commits its own manifest entry after its own job
+    IndexBuild.inParallel(
+      () => guarded("upd_postings_terms") {
+        IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"dl", $"terms"),
+            deltaCfg, stats0, grams = false, allBuckets)
+          .write.mode("append").partitionBy("bucket")
+          .parquet(IndexBuild.termPostingsDir(dir))
+        nDeltaChunks
+      },
+      () => guarded("upd_postings_grams") {
+        IndexBuild.buildSegRows(spark, withIds.select($"doc_id", $"grams"),
+            deltaCfg, stats0, grams = true, allBuckets)
+          .write.mode("append").partitionBy("bucket")
+          .parquet(IndexBuild.gramPostingsDir(dir))
+        nDeltaChunks
+      })
     // 5. dictionaries: idempotent full recompute from segment metadata —
     //    this batch's appended segments AND any pending deferred-add
     //    contributions are all on disk by now
@@ -430,6 +481,7 @@ object Maintenance {
       nDeltaChunks
     }
     cleanup()
+    withIds.unpersist()
     deltaChunks.unpersist()
     autoMergeIfNeeded(spark, dir, cfg.autoMergeSegments)
     (nNew, nChanged, nDeleted)
@@ -565,19 +617,25 @@ object Maintenance {
     * scan side grows — and it is postings-column-pruned. df/cf keep
     * counting tombstoned postings until compact, like the reference.
     */
-  private def rebuildDictionaries(spark: SparkSession, dir: String): Unit = {
-    val seg = spark.read.parquet(IndexBuild.termPostingsDir(dir))
-      .groupBy(col("key").as("term"))
-      .agg(sum("n_docs").as("df"), sum("sum_tf").as("cf"),
-        max("max_tf").as("max_tf"))
-      .repartitionByRange(8, col("term")).sortWithinPartitions("term")
-    swapWrite(seg, IndexBuild.dictDir(dir))
-    val gseg = spark.read.parquet(IndexBuild.gramPostingsDir(dir))
-      .groupBy(substring(col("key"), 2, 10).cast("int").as("gram"))
-      .agg(sum("n_docs").as("df"))
-      .repartitionByRange(8, col("gram")).sortWithinPartitions("gram")
-    swapWrite(gseg, IndexBuild.gramDictDir(dir))
-  }
+  private def rebuildDictionaries(spark: SparkSession, dir: String): Unit =
+    // the two dictionary recomputes read different posting tables and swap
+    // different dirs — run their jobs concurrently (§2.6)
+    IndexBuild.inParallel(
+      () => {
+        val seg = spark.read.parquet(IndexBuild.termPostingsDir(dir))
+          .groupBy(col("key").as("term"))
+          .agg(sum("n_docs").as("df"), sum("sum_tf").as("cf"),
+            max("max_tf").as("max_tf"))
+          .repartitionByRange(8, col("term")).sortWithinPartitions("term")
+        swapWrite(seg, IndexBuild.dictDir(dir))
+      },
+      () => {
+        val gseg = spark.read.parquet(IndexBuild.gramPostingsDir(dir))
+          .groupBy(substring(col("key"), 2, 10).cast("int").as("gram"))
+          .agg(sum("n_docs").as("df"))
+          .repartitionByRange(8, col("gram")).sortWithinPartitions("gram")
+        swapWrite(gseg, IndexBuild.gramDictDir(dir))
+      })
 
   /** Coalesce multi-segment (key, range_id) groups left by incremental
     * appends into single segments with [[Postings.spliceShards]] — a
