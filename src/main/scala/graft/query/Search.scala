@@ -109,10 +109,16 @@ class Search(spark: SparkSession, dir: String,
     * scan. Bound to the index state at construction, like `stats`.
     */
   private lazy val inlineDict: Option[Map[String, Long]] = {
-    val d = spark.read.parquet(IndexBuild.dictDir(dir))
-    if (d.count() > Search.MaxInlineDictTerms) None
-    else Some(d.select($"term", $"df".cast("long"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // ONE bounded job, not count-then-collect: a LIMIT gate+1 collect
+    // returns every row when the dictionary is at/below the gate (the
+    // limit is never reached) and exactly gate+1 rows — scanned
+    // incrementally, bounded driver memory — when it is above, in which
+    // case the probe is discarded and the per-query pruned scan stands.
+    val probe = spark.read.parquet(IndexBuild.dictDir(dir))
+      .select($"term", $"df".cast("long"))
+      .limit(Search.MaxInlineDictTerms.toInt + 1).collect()
+    if (probe.length > Search.MaxInlineDictTerms) None
+    else Some(probe.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   /** Dictionary lookup for query terms (term -> df). Tiny collect: the
