@@ -427,9 +427,14 @@ object IndexBuild {
                                doc_id: Long)
   /** One chunk's terms that hash to one bucket — the transposed-term-build
     * shuffle row (doc_id/dl travel once per slice, not once per posting).
+    * Terms ride as PARALLEL primitive arrays, not Array[TermFreq]: this is
+    * the build's most numerous shuffle row (~one per (chunk, bucket)), and
+    * the Dataset codec for array<struct> allocates a TermFreq per element
+    * on both sides of the exchange — two flat arrays encode/decode with no
+    * per-element object.
     */
   final case class TermSlice(bucket: Int, range_id: Int, doc_id: Long,
-                             dl: Long, terms: Array[TermFreq])
+                             dl: Long, ts: Array[String], fs: Array[Int])
 
   /** Bucket of a term — must match `pmod(xxhash64(term), nBuckets)` (seed
     * 42, Spark's xxhash64 default) everywhere: build, query, maintenance.
@@ -634,7 +639,12 @@ object IndexBuild {
             while (bkt < nBuckets) {
               val buf = bufs(bkt)
               if (buf != null && buf.nonEmpty) {
-                out += TermSlice(bkt, range, docId, dl, buf.toArray)
+                val n = buf.length
+                val ts = new Array[String](n)
+                val fs = new Array[Int](n)
+                var i = 0
+                while (i < n) { val tf = buf(i); ts(i) = tf.t; fs(i) = tf.f; i += 1 }
+                out += TermSlice(bkt, range, docId, dl, ts, fs)
                 buf.clear()
               }
               bkt += 1
@@ -661,19 +671,20 @@ object IndexBuild {
 
               private def consumeRow(s: TermSlice): Unit = {
                 var i = 0
-                while (i < s.terms.length) {
-                  val tf = s.terms(i)
-                  var acc = open.get(tf.t)
+                while (i < s.ts.length) {
+                  val t = s.ts(i)
+                  val f = s.fs(i)
+                  var acc = open.get(t)
                   if (acc == null) {
                     acc = new Acc(new Postings.SegmentBuilder(k1, b, avgdl,
                       blockSize), s.doc_id)
-                    open.put(tf.t, acc)
+                    open.put(t, acc)
                   }
-                  acc.sb.add(s.doc_id, tf.f, s.dl)
+                  acc.sb.add(s.doc_id, f, s.dl)
                   acc.last = s.doc_id
                   acc.n += 1
-                  acc.sumTf += tf.f
-                  if (tf.f > acc.maxTf) acc.maxTf = tf.f
+                  acc.sumTf += f
+                  if (f > acc.maxTf) acc.maxTf = f
                   i += 1
                 }
               }
