@@ -111,13 +111,16 @@ object Dedup {
     * sum(df^2). This is the 100 TB-safe way to call this operator directly;
     * MinHash+LSH remains the preferred scale path.
     */
-  /** One bounded cache slot for the shingle frames of [[jaccardPairs]] /
-    * [[minhashLshPairs]] (see [[OpCaches]]): each call persists its shingle
-    * table (the returned plan scans it repeatedly) and releases the
-    * previous call's — cached blocks no longer accumulate across calls.
+  /** No `.cache()` on the shingle frames here or in [[minhashLshPairs]] —
+    * round 5 leaked one cached frame per call, and the fix is REMOVAL, not
+    * rotation: every scan of `sh` inside one returned plan is the same
+    * canonical subtree, and Spark's exchange reuse (AQE stage cache /
+    * ReuseExchange, on by default) computes the shingle `distinct`'s
+    * exchange once per action and serves every other instance from it —
+    * the compute-sharing the cache bought, without pinning storage blocks
+    * or paying the columnar cache materialization (measured same-window at
+    * sf0.01: the cached variant was ~30% slower on q21/q22/q61).
     */
-  private val shingleSlot = new OpCaches.Slot
-
   def jaccardPairs(docs: DataFrame, thresholdPermille: Int,
                    maxShingleDf: Long = 0L,
                    allowUncapped: Boolean = false): DataFrame = {
@@ -125,7 +128,7 @@ object Dedup {
       "uncapped jaccardPairs is pair-quadratic in hot shingles; pass " +
         "maxShingleDf > 0 (exactness-preserving candidate cap) or opt in " +
         "with allowUncapped = true on a corpus known to be small")
-    val sh = shingleSlot.swap(shingles(docs))
+    val sh = shingles(docs)
     if (maxShingleDf > 0) {
       val cold = sh.join(
         sh.groupBy("s").agg(count(lit(1)).as("sdf"))
@@ -402,7 +405,7 @@ object Dedup {
     * is 1.0 on the dataset (the banding only bounds the candidate set).
     */
   def minhashLshPairs(docs: DataFrame, thresholdPermille: Int): DataFrame = {
-    val sh = shingleSlot.swap(shingles(docs))
+    val sh = shingles(docs) // one frame, shared via exchange reuse (see above)
     val sig = minhashSignaturesOf(sh)
     val nBands = NumHashes / BandRows
     // ONE pass over the signatures: explode an in-row array of (band, key)
@@ -418,8 +421,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    // exact verify on the candidate pairs only, over the SAME cached
-    // shingle frame the signatures came from (round 5 re-shingled here)
+    // exact verify over the SAME shingle frame the signatures came from —
+    // its exchange is computed once per action and reused
     verifyJaccard(cands, sh, thresholdPermille)
   }
 

@@ -423,19 +423,15 @@ object TextOps {
     * broadcast hash join, so the corpus shuffles once, as (doc_id, flag)
     * rows, never as text.
     */
-  /** Bounded cache slot for [[vocabCoverage]]'s term-frequency frame (see
-    * [[OpCaches]]): the tf frame feeds both the vocabulary cut and the
-    * scoring pass, so one cached copy replaces round 5's two full
-    * tokenize + explode scans of the corpus.
-    */
-  private val tfSlot = new graft.ops.OpCaches.Slot
-
   def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
-    // ONE tokenize pass: (doc_id, term, f) is computed once and cached;
-    // cf = sum(f) per term and the per-doc token totals are both exact
-    // re-aggregations of it (identical values to the round-5 double-scan).
-    val tf = tfSlot.swap(tokens(docs)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("f")))
+    // ONE tokenize pass: both the vocabulary cut (cf = sum f) and the
+    // scoring pass re-aggregate the same (doc_id, term, f) frame —
+    // identical values to the round-5 double-scan, but the corpus text is
+    // read and tokenized once. No cache: the two tf instances are the same
+    // canonical subtree, so exchange reuse computes the tf aggregation's
+    // shuffle once per action (see the jaccardPairs note on why a persist
+    // here is strictly worse).
+    val tf = tokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("f"))
     val vocab = tf.groupBy("term").agg(sum(col("f")).as("cf"))
       .orderBy(col("cf").desc, col("term")).limit(vocabSize)
       .select(col("term"), lit(1).as("iv"))

@@ -372,10 +372,10 @@ class OpsConsistencySpec extends SparkSuite {
       (0L, "alpha beta gamma delta epsilon zeta"),
       (1L, "alpha beta gamma delta epsilon eta"),
       (2L, "one two three four five six")).toDF("doc_id", "text")
-    // relative bound (the suite session is shared): 12 op calls may leave
-    // at most one live cached frame per slot (shingles + tf) beyond
-    // whatever was already cached; round 5 accumulated one per
-    // jaccardPairs/minhashLshPairs call (would be +8 here)
+    // relative bound (the suite session is shared): these ops no longer
+    // persist anything — intra-plan sharing comes from exchange reuse, so
+    // 12 calls must leave ZERO new live cached frames; round 5 leaked one
+    // per jaccardPairs call (would be +4 here)
     val before = spark.sparkContext.getPersistentRDDs.size
     (1 to 4).foreach { _ =>
       Dedup.jaccardPairs(docs, 400, maxShingleDf = 8).count()
@@ -383,7 +383,7 @@ class OpsConsistencySpec extends SparkSuite {
       TextOps.vocabCoverage(docs, 3).count()
     }
     val grown = spark.sparkContext.getPersistentRDDs.size - before
-    assert(grown <= 2, s"expected <= 2 new live cached frames, found $grown")
+    assert(grown <= 0, s"expected no new live cached frames, found $grown")
   }
 
   test("dedupLinesKeepFirst enforces its composite-key bound (fail fast, not aliasing)") {
