@@ -427,14 +427,15 @@ object IndexBuild {
                                doc_id: Long)
   /** One chunk's terms that hash to one bucket — the transposed-term-build
     * shuffle row (doc_id/dl travel once per slice, not once per posting).
-    * Terms ride as PARALLEL primitive arrays, not Array[TermFreq]: this is
-    * the build's most numerous shuffle row (~one per (chunk, bucket)), and
-    * the Dataset codec for array<struct> allocates a TermFreq per element
-    * on both sides of the exchange — two flat arrays encode/decode with no
-    * per-element object.
+    * Terms ride as ONE array<struct<t,f>>: a parallel-arrays layout
+    * (Array[String] + Array[Int]) was tried this round and REVERTED — with
+    * nBuckets sized to the vocabulary, slices carry ~1-2 terms at any
+    * scale, and two array headers per slice measurably outweigh the
+    * struct codec's per-element cost (shuffle bytes grew 0.17 → 0.21 GB at
+    * the bench corpus; shuffle-byte counters are exact, not host noise).
     */
   final case class TermSlice(bucket: Int, range_id: Int, doc_id: Long,
-                             dl: Long, ts: Array[String], fs: Array[Int])
+                             dl: Long, terms: Array[TermFreq])
 
   /** Bucket of a term — must match `pmod(xxhash64(term), nBuckets)` (seed
     * 42, Spark's xxhash64 default) everywhere: build, query, maintenance.
@@ -639,12 +640,7 @@ object IndexBuild {
             while (bkt < nBuckets) {
               val buf = bufs(bkt)
               if (buf != null && buf.nonEmpty) {
-                val n = buf.length
-                val ts = new Array[String](n)
-                val fs = new Array[Int](n)
-                var i = 0
-                while (i < n) { val tf = buf(i); ts(i) = tf.t; fs(i) = tf.f; i += 1 }
-                out += TermSlice(bkt, range, docId, dl, ts, fs)
+                out += TermSlice(bkt, range, docId, dl, buf.toArray)
                 buf.clear()
               }
               bkt += 1
@@ -671,20 +667,19 @@ object IndexBuild {
 
               private def consumeRow(s: TermSlice): Unit = {
                 var i = 0
-                while (i < s.ts.length) {
-                  val t = s.ts(i)
-                  val f = s.fs(i)
-                  var acc = open.get(t)
+                while (i < s.terms.length) {
+                  val tf = s.terms(i)
+                  var acc = open.get(tf.t)
                   if (acc == null) {
                     acc = new Acc(new Postings.SegmentBuilder(k1, b, avgdl,
                       blockSize), s.doc_id)
-                    open.put(t, acc)
+                    open.put(tf.t, acc)
                   }
-                  acc.sb.add(s.doc_id, f, s.dl)
+                  acc.sb.add(s.doc_id, tf.f, s.dl)
                   acc.last = s.doc_id
                   acc.n += 1
-                  acc.sumTf += f
-                  if (f > acc.maxTf) acc.maxTf = f
+                  acc.sumTf += tf.f
+                  if (tf.f > acc.maxTf) acc.maxTf = tf.f
                   i += 1
                 }
               }
